@@ -1,0 +1,41 @@
+"""k-nearest-neighbor graph construction (XLA reference path).
+
+Behavioral reference: /root/reference/hpcs/nn/dgcnn/utils/vn_dgcnn_util.py:4-10
+(dense Gram matrix of negative squared distances + top-k; neighbors include
+the point itself since d(i, i) = 0 is maximal).
+
+TPU notes: the Gram matrix is a single MXU matmul; `jax.lax.top_k` keeps the
+[B, N, N] score matrix in fp32.  For large N a fused Pallas kernel that never
+materializes the N x N matrix in HBM lives in hpcs_tpu.ops.pallas.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_neg_sqdist(x, y=None):
+    """Negative squared Euclidean distances.  x: [B, N, D], y: [B, M, D] ->
+    [B, N, M].  Computed as -(|x|^2 - 2 x.y + |y|^2) with the inner product on
+    the MXU in fp32."""
+    if y is None:
+        y = x
+    x2 = jnp.sum(x * x, axis=-1)
+    y2 = jnp.sum(y * y, axis=-1)
+    inner = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    return 2.0 * inner - x2[..., :, None] - y2[..., None, :]
+
+
+def knn(x, k):
+    """Indices of the k nearest neighbors (self included) for each point.
+
+    x: [B, N, D] -> idx [B, N, k], nearest-first (matches torch.topk order on
+    the negative-distance matrix).
+    """
+    scores = pairwise_neg_sqdist(x)
+    _, idx = jax.lax.top_k(scores, k)
+    return idx
+
+
+def gather_neighbors(x, idx):
+    """Gather per-point neighbor features.  x: [B, N, ...], idx: [B, N, K] ->
+    [B, N, K, ...]."""
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
