@@ -1,0 +1,128 @@
+"""Riemannian Adam on the Poincare ball as an optax GradientTransformation.
+
+Behavioral reference: /root/reference/hpcs/optim/radam.py:59-134 (a geoopt
+port).  Every parameter tensor is treated as a set of ball points along its
+last axis: euclidean grad -> egrad2rgrad (/ lambda^2), Adam moments with the
+Riemannian inner product for the second moment, update by
+project(expmap(-step * m/sqrt(v), p)), momentum parallel-transported to the
+new point.  Parameters far inside the ball see lambda ~ 2, i.e. Adam with a
+1/4 gradient scaling — this is what makes the reference's lr=0.05 stable.
+
+Known reference bug NOT replicated: group["step"] is incremented twice per
+update (radam.py:116,133), so its bias correction runs at 2x speed.  We use
+the correct single increment; the difference decays after ~100 steps and
+only affects early-step effective LR.
+
+optax integration: Riemannian updates are not additive, so `update` returns
+(new_point - point) deltas to be consumed by optax.apply_updates (plain add).
+"""
+from typing import NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..geometry import egrad2rgrad, expmap, inner, project, ptransp
+
+
+class RAdamState(NamedTuple):
+    count: chex.Array  # int32 step counter
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+    max_exp_avg_sq: Optional[optax.Updates]
+
+
+def riemannian_adam(
+    learning_rate=1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    amsgrad: bool = False,
+) -> optax.GradientTransformation:
+    """learning_rate: float or an optax schedule (callable of step count)."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RAdamState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=zeros,
+            exp_avg_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
+            max_exp_avg_sq=jax.tree_util.tree_map(jnp.zeros_like, params) if amsgrad else None,
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("riemannian_adam requires params")
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        bias_correction1 = 1 - b1 ** count.astype(jnp.float32)
+        bias_correction2 = 1 - b2 ** count.astype(jnp.float32)
+        step_size = lr * bias_correction2**0.5 / bias_correction1
+
+        def leaf(point, grad, m, v, vmax):
+            grad = grad + weight_decay * point
+            rgrad = egrad2rgrad(point, grad)
+            m_new = b1 * m + (1 - b1) * rgrad
+            # Riemannian squared norm broadcast over the last axis (keepdims)
+            v_new = b2 * v + (1 - b2) * inner(point, rgrad)
+            if amsgrad:
+                vmax_new = jnp.maximum(vmax, v_new)
+                denom = jnp.sqrt(vmax_new) + eps
+            else:
+                vmax_new = vmax
+                denom = jnp.sqrt(v_new) + eps
+            direction = m_new / denom
+            new_point = project(expmap(-step_size * direction, point))
+            m_transported = ptransp(point, new_point, m_new)
+            return new_point - point, m_transported, v_new, vmax_new
+
+        if amsgrad:
+            out = jax.tree_util.tree_map(
+                leaf, params, updates, state.exp_avg, state.exp_avg_sq, state.max_exp_avg_sq
+            )
+            deltas = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+            m_new = jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+            v_new = jax.tree_util.tree_map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+            vmax_new = jax.tree_util.tree_map(lambda t: t[3], out, is_leaf=lambda t: isinstance(t, tuple))
+        else:
+            out = jax.tree_util.tree_map(
+                lambda p, g, m, v: leaf(p, g, m, v, None),
+                params, updates, state.exp_avg, state.exp_avg_sq,
+            )
+            deltas = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+            m_new = jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+            v_new = jax.tree_util.tree_map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+            vmax_new = None
+
+        return deltas, RAdamState(count, m_new, v_new, vmax_new)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class PlateauState(NamedTuple):
+    """ReduceLROnPlateau bookkeeping (host-side, per-epoch).
+
+    Reference schedule: factor 0.5, patience 4, min_lr 1e-6 on val_loss
+    (/root/reference/hpcs/models/base_hyp_hc.py:142-155).
+    """
+
+    lr: float
+    best: float
+    num_bad: int
+
+
+def plateau_init(lr: float) -> PlateauState:
+    return PlateauState(lr=lr, best=float("inf"), num_bad=0)
+
+
+def plateau_update(state: PlateauState, metric: float, factor=0.5, patience=4,
+                   min_lr=1e-6, min_delta=0.0) -> PlateauState:
+    if metric < state.best - min_delta:
+        return PlateauState(lr=state.lr, best=metric, num_bad=0)
+    num_bad = state.num_bad + 1
+    if num_bad > patience:
+        return PlateauState(lr=max(state.lr * factor, min_lr), best=state.best, num_bad=0)
+    return PlateauState(lr=state.lr, best=state.best, num_bad=num_bad)
