@@ -1,0 +1,29 @@
+from .linkage import (
+    cosine_distance_matrix,
+    cut_maxclust,
+    euclidean_distance_matrix,
+    linkage,
+    linkage_from_distances,
+)
+from .scores import (
+    adjusted_rand_index,
+    contingency,
+    eval_clustering,
+    get_optimal_k,
+    purity,
+    remap_consecutive,
+)
+
+__all__ = [
+    "cosine_distance_matrix",
+    "cut_maxclust",
+    "euclidean_distance_matrix",
+    "linkage",
+    "linkage_from_distances",
+    "adjusted_rand_index",
+    "contingency",
+    "eval_clustering",
+    "get_optimal_k",
+    "purity",
+    "remap_consecutive",
+]

@@ -1,0 +1,166 @@
+"""On-device agglomerative linkage and dendrogram cutting.
+
+Replaces the reference's CPU decode path — scipy linkage(method='complete',
+metric='cosine') per object (/root/reference/hpcs/models/base_hyp_hc.py:81-86)
+and fcluster(criterion='maxclust') sweeps
+(/root/reference/hpcs/utils/scores.py:141-177) — with jit-able fixed-shape
+algorithms:
+
+- `linkage`: slot-based O(N^2)-per-merge agglomeration under lax.fori_loop.
+  Each merge takes the argmin of the active-pair distance matrix and updates
+  one row/column (complete = max, single = min, average = size-weighted
+  mean), emitting scipy-format rows [id_a, id_b, dist, size].  N - 1 merges
+  of N x N work = O(N^3) flops on the VPU — for N = 1024 this is ~1 GFLOP,
+  microseconds-scale on TPU versus scipy's single-core CPU walk.
+- `cut_maxclust`: cut to <= k clusters by applying the first N - k merges
+  (exact for monotone linkages — complete/single/average all are) with
+  parent pointer-doubling, then relabel to consecutive ids.
+
+Both run per object; vmap over the batch.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(3.4e38)
+
+
+def cosine_distance_matrix(x):
+    """Pairwise cosine distances 1 - cos(x_i, x_j) (scipy 'cosine' metric)."""
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+
+
+def euclidean_distance_matrix(x):
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] - 2.0 * (x @ x.T) + sq[None, :]
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("method",))
+def linkage_from_distances(D, method="complete"):
+    """Agglomerative linkage from a dense [N, N] distance matrix.
+
+    Returns Z [N-1, 4] in scipy format: [id_a, id_b, dist, size] with
+    original points 0..N-1 and merged cluster t getting id N + t.
+    """
+    N = D.shape[0]
+    D = D.astype(jnp.float32)
+    D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
+
+    init = dict(
+        D=D,
+        cluster_id=jnp.arange(N, dtype=jnp.int32),
+        size=jnp.ones((N,), jnp.int32),
+        active=jnp.ones((N,), bool),
+        Z=jnp.zeros((N - 1, 4), jnp.float32),
+    )
+
+    def body(t, s):
+        D = s["D"]
+        # argmin over active pairs (inactive rows/cols already hold +inf)
+        flat = jnp.argmin(D)
+        i, j = flat // N, flat % N
+        i, j = jnp.minimum(i, j), jnp.maximum(i, j)
+        dist = D[i, j]
+
+        ci, cj = s["cluster_id"][i], s["cluster_id"][j]
+        ida, idb = jnp.minimum(ci, cj), jnp.maximum(ci, cj)
+        new_size = s["size"][i] + s["size"][j]
+        Z = s["Z"].at[t].set(
+            jnp.array([0.0, 0.0, 0.0, 0.0]).at[0].set(ida.astype(jnp.float32))
+            .at[1].set(idb.astype(jnp.float32))
+            .at[2].set(dist)
+            .at[3].set(new_size.astype(jnp.float32))
+        )
+
+        row_i, row_j = D[i, :], D[j, :]
+        if method == "complete":
+            new_row = jnp.maximum(row_i, row_j)
+        elif method == "single":
+            new_row = jnp.minimum(row_i, row_j)
+        elif method == "average":
+            si = s["size"][i].astype(jnp.float32)
+            sj = s["size"][j].astype(jnp.float32)
+            # guard inf * 0-style blowups: inactive entries stay inf via where
+            both_fin = (row_i < _INF) & (row_j < _INF)
+            new_row = jnp.where(both_fin, (si * row_i + sj * row_j) / (si + sj), _INF)
+        else:
+            raise ValueError(f"unknown linkage method {method!r}")
+
+        new_row = new_row.at[i].set(_INF)
+        D = D.at[i, :].set(new_row).at[:, i].set(new_row)
+        D = D.at[j, :].set(_INF).at[:, j].set(_INF)
+
+        return dict(
+            D=D,
+            cluster_id=s["cluster_id"].at[i].set(N + t),
+            size=s["size"].at[i].set(new_size),
+            active=s["active"].at[j].set(False),
+            Z=Z,
+        )
+
+    out = jax.lax.fori_loop(0, N - 1, body, init)
+    return out["Z"]
+
+
+def linkage(x, method="complete", metric="cosine"):
+    """scipy.cluster.hierarchy.linkage equivalent from raw observations."""
+    if metric == "cosine":
+        D = cosine_distance_matrix(x)
+    elif metric == "euclidean":
+        D = euclidean_distance_matrix(x)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return linkage_from_distances(D, method=method)
+
+
+def _doubling_steps(n):
+    s, k = 1, 0
+    while s < 2 * n:
+        s *= 2
+        k += 1
+    return k
+
+
+@partial(jax.jit, static_argnames=())
+def _roots_after_merges(Z, num_merges):
+    """Root node id of every leaf after applying the first `num_merges` rows."""
+    N = Z.shape[0] + 1
+    parent = jnp.arange(2 * N - 1, dtype=jnp.int32)
+    merge_idx = jnp.arange(N - 1)
+    apply_row = merge_idx < num_merges
+    a = Z[:, 0].astype(jnp.int32)
+    b = Z[:, 1].astype(jnp.int32)
+    new_ids = (N + merge_idx).astype(jnp.int32)
+    parent = parent.at[jnp.where(apply_row, a, 2 * N - 2)].set(
+        jnp.where(apply_row, new_ids, parent[2 * N - 2])
+    )
+    parent = parent.at[jnp.where(apply_row, b, 2 * N - 2)].set(
+        jnp.where(apply_row, new_ids, parent[2 * N - 2])
+    )
+    # pointer doubling to the root
+    for _ in range(_doubling_steps(N)):
+        parent = parent[parent]
+    return parent[:N]
+
+
+def cut_maxclust(Z, k):
+    """Labels in [0, k) cutting the dendrogram into <= k flat clusters.
+
+    Matches scipy fcluster(criterion='maxclust') for monotone linkages: the
+    smallest threshold yielding <= k clusters corresponds to stopping before
+    the last k - 1 merges.  Labels are consecutive but arbitrary — all
+    downstream scores are permutation-invariant.
+    """
+    N = Z.shape[0] + 1
+    k = jnp.clip(k, 1, N)
+    roots = _roots_after_merges(Z, N - k)
+    # relabel to consecutive: rank of first occurrence order via sort trick
+    sort_r = jnp.sort(roots)
+    uniq_mask = jnp.concatenate([jnp.array([True]), sort_r[1:] != sort_r[:-1]])
+    # labels = number of distinct root values < root
+    boundaries = jnp.cumsum(uniq_mask) - 1
+    labels = boundaries[jnp.searchsorted(sort_r, roots)]
+    return labels.astype(jnp.int32)

@@ -1,0 +1,124 @@
+"""On-device clustering scores and the best-k decode sweep.
+
+Behavioral reference: /root/reference/hpcs/utils/scores.py — get_optimal_k
+:141-177 (fcluster sweep k = 1..C+4, greedy per-true-cluster IoU matching,
+global binary IoU), purity :202-226, adjusted Rand :4-7 (sklearn import),
+eval_clustering :229-240.  All reimplemented as fixed-shape jit-able
+functions; `num_class` bounds the contingency tables statically while the
+actual number of clusters per object stays dynamic.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .linkage import cut_maxclust
+
+
+def remap_consecutive(y, upper):
+    """Remap integer labels to consecutive 0..C-1 (order of sorted values).
+    `upper` is a static exclusive bound on label values."""
+    present = jnp.zeros((upper,), jnp.int32).at[y].set(1)
+    new_id = jnp.cumsum(present) - 1  # value v -> rank among present values
+    return new_id[y], jnp.sum(present)
+
+
+def contingency(y_true, y_pred, c_max, k_max):
+    """Contingency table [c_max, k_max] of label co-occurrence counts."""
+    idx = y_true * k_max + y_pred
+    flat = jnp.zeros((c_max * k_max,), jnp.int32).at[idx].add(1)
+    return flat.reshape(c_max, k_max)
+
+
+def adjusted_rand_index(y_true, y_pred, c_max, k_max):
+    """ARI from the contingency table (permutation-invariant)."""
+    cont = contingency(y_true, y_pred, c_max, k_max).astype(jnp.float32)
+    n = jnp.sum(cont)
+    a = jnp.sum(cont, axis=1)
+    b = jnp.sum(cont, axis=0)
+
+    def comb2(x):
+        return x * (x - 1.0) / 2.0
+
+    sum_ij = jnp.sum(comb2(cont))
+    sum_a = jnp.sum(comb2(a))
+    sum_b = jnp.sum(comb2(b))
+    expected = sum_a * sum_b / jnp.maximum(comb2(n), 1.0)
+    max_index = 0.5 * (sum_a + sum_b)
+    denom = max_index - expected
+    return jnp.where(jnp.abs(denom) < 1e-6, 1.0, (sum_ij - expected) / denom)
+
+
+def purity(y_true, y_pred, c_max, k_max):
+    """Majority-vote purity (reference scores.py:202-226)."""
+    cont = contingency(y_true, y_pred, c_max, k_max)
+    return jnp.sum(jnp.max(cont, axis=0)) / jnp.maximum(jnp.sum(cont), 1)
+
+
+def _iou_matching_score(y_true, y_pred, n_true, c_max, k_max):
+    """The reference's greedy IoU matching score (scores.py:160-175):
+    each true cluster claims its best-IoU predicted cluster (later true
+    clusters overwrite earlier claims), then a global binary IoU of the
+    matched one-hot encodings, which collapses to eq / (2N - eq)."""
+    cont = contingency(y_true, y_pred, c_max, k_max).astype(jnp.float32)
+    row = jnp.sum(cont, axis=1, keepdims=True)
+    col = jnp.sum(cont, axis=0, keepdims=True)
+    union = row + col - cont
+    iou_mat = jnp.where(union > 0, cont / jnp.maximum(union, 1e-12), 0.0)
+    ind = jnp.argmax(iou_mat, axis=1)  # [c_max]
+
+    def body(i, y_remap):
+        claim = (y_pred == ind[i]) & (i < n_true)
+        return jnp.where(claim, i + 1, y_remap)
+
+    y_remap = jax.lax.fori_loop(0, c_max, body, jnp.zeros_like(y_pred))
+    eq = jnp.sum((y_remap == y_true + 1).astype(jnp.int32))
+    n = y_true.shape[0]
+    return eq.astype(jnp.float32) / jnp.maximum(2 * n - eq, 1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("num_class", "index"))
+def get_optimal_k(y, Z, num_class, index="iou"):
+    """Sweep k = 1..C+4 flat cuts of the dendrogram, return the best.
+
+    y: [N] raw int labels (< num_class); Z: [N-1, 4] linkage matrix.
+    Returns (best_pred [N], best_k, best_score) like the reference
+    (scores.py:141-177).  k is swept to the static bound num_class + 4 with
+    scores masked beyond C+4.
+    """
+    n = y.shape[0]
+    k_hi = min(num_class + 4, n)  # static bound
+    y_true, n_true = remap_consecutive(y, num_class)
+    c_max = num_class
+    k_max = k_hi + 1
+
+    ks = jnp.arange(1, k_hi + 1)
+
+    def score_for_k(k):
+        y_pred = cut_maxclust(Z, k)
+        if index == "iou":
+            s = _iou_matching_score(y_true, y_pred, n_true, c_max, k_max)
+        elif index == "ri":
+            s = adjusted_rand_index(y_true, y_pred, c_max, k_max)
+        else:
+            raise ValueError(f"unknown index {index!r}")
+        valid = k <= n_true + 4
+        return jnp.where(valid, s, -1.0), y_pred
+
+    scores, preds = jax.vmap(score_for_k)(ks)
+    best = jnp.argmax(scores)
+    return preds[best], ks[best], scores[best]
+
+
+@partial(jax.jit, static_argnames=("num_class",))
+def eval_clustering(y, Z, num_class):
+    """Cut at the true cluster count; report (ARI, purity)
+    (reference eval_clustering scores.py:229-240 — its weighted-jaccard
+    second metric compares raw label values, we report purity instead,
+    which is the quality measure named by the benchmark target)."""
+    y_true, n_true = remap_consecutive(y, num_class)
+    y_pred = cut_maxclust(Z, n_true)
+    k_max = min(num_class + 4, Z.shape[0] + 1) + 1
+    ri = adjusted_rand_index(y_true, y_pred, num_class, k_max)
+    pu = purity(y_true, y_pred, num_class, k_max)
+    return ri, pu

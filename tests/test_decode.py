@@ -1,0 +1,139 @@
+"""On-device linkage/decode vs the scipy golden oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpcs_tpu.decode import (
+    adjusted_rand_index,
+    cut_maxclust,
+    eval_clustering,
+    get_optimal_k,
+    linkage,
+    purity,
+    remap_consecutive,
+)
+from hpcs_tpu.decode.host import (
+    cut_maxclust_host,
+    get_optimal_k_host,
+    linkage_host,
+    purity_host,
+)
+
+KEY = jax.random.PRNGKey(21)
+
+
+def _clustered_points(key, n_clusters=4, per=16, d=3, spread=0.05):
+    keys = jax.random.split(key, n_clusters)
+    centers = jax.random.normal(key, (n_clusters, d)) * 2.0
+    pts = jnp.concatenate(
+        [centers[i] + spread * jax.random.normal(keys[i], (per, d)) for i in range(n_clusters)]
+    )
+    labels = jnp.repeat(jnp.arange(n_clusters), per)
+    return pts, labels
+
+
+@pytest.mark.parametrize("method", ["complete", "single", "average"])
+def test_linkage_matches_scipy_distances(method):
+    x, _ = _clustered_points(KEY)
+    Z = np.asarray(linkage(x, method=method, metric="cosine"))
+    Zs = linkage_host(np.asarray(x), method=method, metric="cosine")
+    # merge heights must match (sorted, since tie order may differ)
+    np.testing.assert_allclose(np.sort(Z[:, 2]), np.sort(Zs[:, 2]), atol=1e-4)
+    # sizes of merges must match as multisets
+    np.testing.assert_array_equal(np.sort(Z[:, 3]), np.sort(Zs[:, 3]))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 6])
+def test_cut_maxclust_matches_scipy(k):
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    x, _ = _clustered_points(KEY, n_clusters=4, per=12)
+    Z = linkage(x, method="complete", metric="cosine")
+    got = np.asarray(cut_maxclust(Z, jnp.int32(k)))
+    Zs = linkage_host(np.asarray(x), method="complete", metric="cosine")
+    want = cut_maxclust_host(Zs, k)
+    # same partition up to label permutation
+    assert adjusted_rand_score(got, want) == pytest.approx(1.0)
+    assert len(np.unique(got)) == len(np.unique(want))
+
+
+def test_cut_maxclust_k1_and_kn():
+    x, _ = _clustered_points(KEY, n_clusters=2, per=8)
+    Z = linkage(x)
+    l1 = np.asarray(cut_maxclust(Z, jnp.int32(1)))
+    assert (l1 == 0).all()
+    ln = np.asarray(cut_maxclust(Z, jnp.int32(16)))
+    assert len(np.unique(ln)) == 16
+
+
+def test_remap_consecutive():
+    y = jnp.array([5, 3, 5, 9, 3])
+    r, n = remap_consecutive(y, 16)
+    np.testing.assert_array_equal(np.asarray(r), [1, 0, 1, 2, 0])
+    assert int(n) == 3
+
+
+def test_adjusted_rand_matches_sklearn():
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        yt = rng.randint(0, 5, 64)
+        yp = rng.randint(0, 7, 64)
+        got = float(adjusted_rand_index(jnp.asarray(yt), jnp.asarray(yp), 5, 7))
+        want = adjusted_rand_score(yt, yp)
+        assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_purity_matches_host():
+    rng = np.random.RandomState(1)
+    yt = rng.randint(0, 4, 100)
+    yp = rng.randint(0, 6, 100)
+    got = float(purity(jnp.asarray(yt), jnp.asarray(yp), 4, 6))
+    want = purity_host(yt, yp)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_get_optimal_k_matches_reference_oracle():
+    x, labels = _clustered_points(KEY, n_clusters=4, per=16)
+    Z = linkage(x, method="complete", metric="cosine")
+    pred, k, score = get_optimal_k(labels, Z, num_class=8, index="iou")
+    Zs = linkage_host(np.asarray(x), method="complete", metric="cosine")
+    _, k_host, score_host = get_optimal_k_host(np.asarray(labels), Zs, index="iou")
+    assert float(score) == pytest.approx(score_host, abs=1e-3)
+    assert int(k) == k_host
+
+
+def test_get_optimal_k_perfect_clusters_score_one():
+    x, labels = _clustered_points(jax.random.fold_in(KEY, 2), n_clusters=3, per=20,
+                                  spread=0.01)
+    Z = linkage(x, method="complete", metric="euclidean")
+    pred, k, score = get_optimal_k(labels, Z, num_class=6, index="iou")
+    assert float(score) == pytest.approx(1.0, abs=1e-5)
+    assert int(k) == 3
+
+
+def test_get_optimal_k_ri_index():
+    x, labels = _clustered_points(jax.random.fold_in(KEY, 3), n_clusters=3, per=10,
+                                  spread=0.02)
+    Z = linkage(x, method="complete", metric="euclidean")
+    _, k, score = get_optimal_k(labels, Z, num_class=6, index="ri")
+    assert float(score) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_eval_clustering():
+    x, labels = _clustered_points(jax.random.fold_in(KEY, 4), n_clusters=4, per=12,
+                                  spread=0.01)
+    Z = linkage(x, method="complete", metric="euclidean")
+    ri, pu = eval_clustering(labels, Z, num_class=8)
+    assert float(ri) == pytest.approx(1.0, abs=1e-5)
+    assert float(pu) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_decode_batch_vmap():
+    xs = jnp.stack([_clustered_points(jax.random.fold_in(KEY, i))[0] for i in range(3)])
+    Zs = jax.vmap(lambda x: linkage(x))(xs)
+    assert Zs.shape == (3, 63, 4)
+    labels = jax.vmap(lambda Z: cut_maxclust(Z, jnp.int32(4)))(Zs)
+    assert labels.shape == (3, 64)
