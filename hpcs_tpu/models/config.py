@@ -1,0 +1,49 @@
+"""Static configuration for the HypHC training system.
+
+Mirrors the reference's constructor surface (BaseSimilarityHypHC /
+ShapeNetHypHC / PartNetHypHC args, /root/reference/hpcs/models/base_hyp_hc.py
+:26-76) as one frozen dataclass that drives jit-compiled pure functions.
+"""
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # data / task
+    dataset: str = "shapenet"  # 'shapenet' | 'partnet'
+    model_name: str = "vn_dgcnn_partseg"
+    num_class: int = 50
+    num_categories: int = 16
+    fixed_points: int = 512
+    # embedding dims
+    eucl_dim: int = 2
+    hyp_dim: int = 2
+    # backbone
+    k: int = 10
+    dropout: float = 0.5
+    pooling: str = "mean"
+    # loss
+    margin: float = 0.05
+    t_per_anchor: int = 50
+    fraction: float = 1.2
+    temperature: float = 1.0
+    anneal_factor: float = 2.0
+    anneal_step: int = 0
+    trade_off: float = 1.0
+    miner: bool = True
+    cosface: bool = True
+    hierarchical: bool = False
+    class_vector: bool = False
+    num_triplets: Optional[int] = None
+    # augmentation
+    train_rotation: str = "so3"
+    test_rotation: str = "so3"
+    # optimization
+    lr: float = 0.005
+    # hierarchy (PartNet): nested per-level branch lists of leaf ids
+    hierarchy_list: Tuple = ()
+
+    @property
+    def use_hierarchical(self) -> bool:
+        return self.hierarchical and self.dataset == "partnet" and len(self.hierarchy_list) > 0

@@ -1,0 +1,154 @@
+"""End-to-end system tests: init -> train steps -> eval -> test decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpcs_tpu.data import DataLoader, SyntheticPartDataset
+from hpcs_tpu.models import HypHCSystem, ModelConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _small_system(**over):
+    cfg = dict(
+        dataset="shapenet",
+        num_class=6,
+        num_categories=2,
+        fixed_points=64,
+        eucl_dim=4,
+        hyp_dim=4,
+        k=8,
+        temperature=0.1,
+        t_per_anchor=10,
+        lr=0.01,
+        trade_off=0.1,
+        num_triplets=2048,
+    )
+    cfg.update(over)
+    return HypHCSystem(ModelConfig(**cfg))
+
+
+def _batch(system, B=2):
+    ds = SyntheticPartDataset(num_objects=8, npoints=system.cfg.fixed_points,
+                              num_categories=2, parts_per_object=3)
+    loader = DataLoader(ds, batch_size=B, shuffle=True, drop_last=True)
+    return next(iter(loader))
+
+
+def test_init_creates_all_params():
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    assert "scale" in state.params and "cosface_W" in state.params
+    assert state.params["cosface_W"].shape == (4, 6)
+    assert float(state.params["scale"][0]) == pytest.approx(1e-3)
+
+
+def test_train_step_runs_and_decreases_loss():
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    losses = []
+    key = KEY
+    for i in range(8):
+        key = jax.random.fold_in(key, i)
+        state, logs = system.train_step(state, batch, key, jnp.float32(0.1))
+        assert np.isfinite(float(logs["total_loss"]))
+        losses.append(float(logs["total_loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_updates_scale_param():
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    s0 = float(state.params["scale"][0])
+    for i in range(3):
+        state, _ = system.train_step(state, batch, jax.random.fold_in(KEY, i), jnp.float32(0.1))
+    assert float(state.params["scale"][0]) != s0
+
+
+def test_eval_step():
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    logs = system.eval_step(state, batch, KEY, jnp.float32(0.1))
+    assert np.isfinite(float(logs["val_loss"]))
+    assert "acc" in logs and 0.0 <= float(logs["acc"]) <= 1.0
+
+
+def test_test_step_decodes():
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    logs, extras = system.test_step(state, batch, KEY, jnp.float32(0.1))
+    assert np.isfinite(float(logs["test_loss"]))
+    assert 0.0 <= float(logs["score"]) <= 1.0
+    B, N = batch["labels"].shape
+    assert extras["pred"].shape == (B, N)
+    assert extras["linkage"].shape == (B, N - 1, 4)
+
+
+def test_test_step_perfect_embeddings_score_one():
+    """If the ball embeddings themselves are perfectly clustered by part, the
+    decode path must recover the segmentation with score ~1."""
+    system = _small_system()
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    # fabricate embeddings: use labels as cluster centers on the ball
+    from hpcs_tpu.decode import get_optimal_k
+    from hpcs_tpu.decode.linkage import cosine_distance_matrix, linkage_from_distances
+
+    labels = jnp.asarray(batch["labels"][0])
+    angles = labels.astype(jnp.float32) / 6.0 * 2 * jnp.pi
+    emb = 0.5 * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
+    emb = emb + 0.001 * jax.random.normal(KEY, emb.shape)
+    Z = linkage_from_distances(cosine_distance_matrix(emb))
+    _, _, score = get_optimal_k(labels, Z, num_class=6, index="iou")
+    assert float(score) > 0.99
+
+
+def test_partnet_variant_with_hierarchy():
+    hierarchy = (((0, 1, 2), (3, 4, 5)), ((0, 1), (2,), (3,), (4, 5)))
+    system = HypHCSystem(ModelConfig(
+        dataset="partnet", num_class=6, num_categories=1, fixed_points=64,
+        eucl_dim=4, hyp_dim=4, k=8, hierarchical=True, hierarchy_list=hierarchy,
+        num_triplets=1024, t_per_anchor=8,
+    ))
+    assert system.loss_cfg.hierarchical
+    ds = SyntheticPartDataset(num_objects=4, npoints=64, num_categories=2,
+                              parts_per_object=3)
+    batch = next(iter(DataLoader(ds, batch_size=2)))
+    state = system.init(KEY, batch)
+    state, logs = system.train_step(state, batch, KEY, jnp.float32(0.1))
+    assert np.isfinite(float(logs["total_loss"]))
+
+
+def test_triplet_sim_variant():
+    system = _small_system(cosface=False)
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    state, logs = system.train_step(state, batch, KEY, jnp.float32(0.1))
+    assert np.isfinite(float(logs["total_loss"]))
+    assert "acc" not in logs  # metrics only exist on the CosFace path
+
+
+def test_epoch_end_schedules():
+    system = _small_system(anneal_step=2, anneal_factor=0.5)
+    lr0 = system.plateau.lr
+    for e in range(6):
+        system.epoch_end(e, val_loss=1.0 + e)  # never improving after first
+    assert system.plateau.lr <= lr0
+    assert system.temperature < 0.1 + 1e-9
+
+
+def test_class_vector_decode_vector():
+    from hpcs_tpu.models import decode_vector_for_batch
+
+    system = _small_system(class_vector=True)
+    batch = _batch(system)
+    dv = decode_vector_for_batch(system.cfg, batch)
+    assert dv.shape == (2, 6)
+    assert set(np.unique(np.asarray(dv))) <= {0.0, 1.0}
