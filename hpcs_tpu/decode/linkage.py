@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(3.4e38)
+_INF = 3.4e38  # python float: a jnp scalar here would initialize the backend at import
 
 
 def cosine_distance_matrix(x):

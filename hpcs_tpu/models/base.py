@@ -134,9 +134,12 @@ class HypHCSystem:
     def init(self, key, sample_batch) -> TrainState:
         k_params, k_drop = jax.random.split(key)
         dv = decode_vector_for_batch(self.cfg, sample_batch)
-        variables = self.net.init(
+        # jit the initializer: eager flax init dispatches thousands of tiny
+        # ops (2 minutes over a remote-TPU link); compiled it is sub-second
+        init_fn = jax.jit(lambda rngs, pts, d: self.net.init(rngs, pts, d, train=False))
+        variables = init_fn(
             {"params": k_params, "dropout": k_drop},
-            sample_batch["points"], dv, train=False,
+            jnp.asarray(sample_batch["points"]), dv,
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -181,8 +184,9 @@ class HypHCSystem:
         return out, metrics
 
     # ---------------------------------------------------------------- steps
-    @partial(jax.jit, static_argnames=("self",))
-    def train_step(self, state: TrainState, batch, key, temperature):
+    def grads_and_logs(self, state: TrainState, batch, key, temperature):
+        """Loss gradients + diagnostics for one (possibly per-device) batch.
+        Shared by the single-device and shard_map data-parallel steps."""
         k_rot, k_drop, k_loss = jax.random.split(key, 3)
         points = augment(k_rot, batch["points"], self.cfg.train_rotation)
 
@@ -200,15 +204,22 @@ class HypHCSystem:
         (total, (losses, metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        logs = {"total_loss": total, **losses, **metrics,
+                "scale": state.params["scale"][0]}
+        return grads, logs, new_bs
+
+    def apply_gradients(self, state: TrainState, grads, new_bs) -> TrainState:
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
+        return TrainState(
             params=new_params, batch_stats=new_bs,
             opt_state=new_opt, step=state.step + 1,
         )
-        logs = {"total_loss": total, **losses, **metrics,
-                "scale": state.params["scale"][0]}
-        return new_state, logs
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: TrainState, batch, key, temperature):
+        grads, logs, new_bs = self.grads_and_logs(state, batch, key, temperature)
+        return self.apply_gradients(state, grads, new_bs), logs
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(self, state: TrainState, batch, key, temperature):

@@ -9,7 +9,7 @@ we do the same, so graph topology matches exactly.
 """
 import jax.numpy as jnp
 
-from .knn import gather_neighbors, knn
+from .knn import gather_neighbors, knn_auto as knn
 
 
 def graph_feature_vn(x, k, idx=None, coords=None):

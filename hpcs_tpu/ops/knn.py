@@ -35,6 +35,18 @@ def knn(x, k):
     return idx
 
 
+def knn_auto(x, k):
+    """Dispatch to the fused Pallas kernel on TPU (HBM-traffic-free scores),
+    the XLA path elsewhere.  Set HPCS_TPU_DISABLE_PALLAS=1 to force XLA."""
+    import os
+
+    if os.environ.get("HPCS_TPU_DISABLE_PALLAS") != "1" and jax.default_backend() == "tpu":
+        from .pallas.knn_pallas import knn_pallas
+
+        return knn_pallas(x, k)
+    return knn(x, k)
+
+
 def gather_neighbors(x, idx):
     """Gather per-point neighbor features.  x: [B, N, ...], idx: [B, N, K] ->
     [B, N, K, ...]."""

@@ -1,0 +1,83 @@
+"""Data-parallel training over a device mesh via shard_map.
+
+The reference delegates all distribution to Lightning's accelerator flag
+(/root/reference/train.py:43,259 — single-GPU in every shipped config; the
+ddp helper hpcs/utils/distrubuted.py is dead code).  Here the design is
+TPU-native: a 1-D `data` mesh, batch sharded on the leading axis, gradients
+and batch-norm statistics pmean'd over ICI, replicated parameters updated
+identically on every device.
+
+Loss semantics under sharding: the flattened point set that feeds the triplet
+miner is the *per-device* shard (triplets never cross devices), which is the
+standard DP formulation; the reference's global-batch triplet pool only
+differs by the (tiny) fraction of cross-object triplets that would span
+shards.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.7 style
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_mesh(n_devices=None, axis="data", devices=None):
+    devices = devices if devices is not None else jax.devices()[: n_devices or len(jax.devices())]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def make_data_parallel_train_step(system, n_devices=None, mesh=None):
+    """Returns train_step(state, batch, key, temperature) sharded over the
+    batch axis.  `state` is replicated; `batch` arrays are sharded on axis 0
+    (batch size must divide the device count evenly)."""
+    mesh = mesh or make_mesh(n_devices)
+
+    batch_spec = {"points": P("data"), "labels": P("data"), "category": P("data")}
+
+    def per_device(state, batch, key, temperature):
+        # decorrelate per-device randomness (rotations, triplet draws)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        grads, logs, new_bs = system.grads_and_logs(state, batch, key, temperature)
+        grads = jax.lax.pmean(grads, "data")
+        logs = jax.lax.pmean(logs, "data")
+        new_bs = jax.lax.pmean(new_bs, "data")
+        new_state = system.apply_gradients(state, grads, new_bs)
+        return new_state, logs
+
+    sharded = _shard_map(
+        per_device, mesh,
+        in_specs=(P(), batch_spec, P(), P()),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(state, batch, key, temperature):
+        return sharded(state, batch, key, temperature)
+
+    return step
+
+
+def shard_batch(mesh, batch):
+    """Place a host batch with leading-axis sharding on the mesh."""
+    spec = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, spec) for k, v in batch.items()}
+
+
+def replicate(mesh, tree):
+    spec = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), tree)

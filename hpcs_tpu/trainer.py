@@ -1,0 +1,115 @@
+"""Host training loop: epochs, validation, early stopping, schedules, ckpt.
+
+The jax/TPU analogue of the Lightning Trainer usage in the reference
+(/root/reference/train.py:247-288): fit -> save checkpoint -> test, with
+EarlyStopping(val_loss, patience), ReduceLROnPlateau, LR monitoring, and
+per-epoch metric logging.  All device work happens inside the jitted step
+functions of HypHCSystem; this loop only moves batches and scalars.
+"""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import HypHCSystem
+from .utils.checkpoint import restore_checkpoint, save_checkpoint
+from .utils.logging import MetricLogger
+
+
+def _mean_logs(logs_list):
+    if not logs_list:
+        return {}
+    keys = logs_list[0].keys()
+    return {k: float(np.mean([float(l[k]) for l in logs_list])) for k in keys}
+
+
+def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
+        seed=0, log_dir="logs", run_name="run", logger: MetricLogger = None,
+        ckpt_dir=None, resume=None, train_step_fn=None, state=None):
+    """Train with early stopping; returns (state, best_val_loss)."""
+    key = jax.random.PRNGKey(seed)
+    own_logger = logger is None
+    if logger is None:
+        logger = MetricLogger(log_dir, run_name)
+
+    if state is None:
+        sample = next(iter(train_loader))
+        state = system.init(key, sample)
+    start_epoch = 0
+    if resume:
+        state, start_epoch, _ = restore_checkpoint(resume, state)
+
+    step_fn = train_step_fn or system.train_step
+    best_val = float("inf")
+    best_state = state
+    bad_epochs = 0
+    global_step = int(state.step)
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        train_logs = []
+        for batch in train_loader:
+            key = jax.random.fold_in(key, global_step + 1)
+            state, logs = step_fn(state, batch, key, jnp.float32(system.temperature))
+            train_logs.append(logs)
+            global_step += 1
+        val_logs = []
+        val_key = jax.random.fold_in(key, 1_000_003 + epoch)
+        for vi, batch in enumerate(valid_loader):
+            vk = jax.random.fold_in(val_key, vi)
+            val_logs.append(system.eval_step(state, batch, vk, jnp.float32(system.temperature)))
+
+        tl = _mean_logs(train_logs)
+        vl = _mean_logs(val_logs)
+        val_loss = vl.get("val_loss", float("inf"))
+        lr = system.epoch_end(epoch, val_loss)
+        state = system.set_learning_rate(state, lr)
+        logger.log(
+            {
+                "epoch": epoch,
+                **{f"train_{k}" if not k.startswith("loss") and k not in ("scale",) else k: v
+                   for k, v in tl.items()},
+                **vl,
+                "lr": lr,
+                "temperature": system.temperature,
+                "epoch_time_s": time.time() - t0,
+            },
+            step=global_step,
+        )
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_state = state
+            bad_epochs = 0
+            if ckpt_dir:
+                save_checkpoint(os.path.join(ckpt_dir, "best"), state, system.cfg, epoch)
+        else:
+            bad_epochs += 1
+            if bad_epochs >= patience:
+                break
+        if ckpt_dir:
+            save_checkpoint(os.path.join(ckpt_dir, "last"), state, system.cfg, epoch)
+
+    if own_logger:
+        logger.close()
+    return best_state, best_val
+
+
+def test(system: HypHCSystem, state, test_loader, *, seed=0, limit_batches=None,
+         logger: MetricLogger = None):
+    """Run the decode/test pass; returns mean metrics
+    (reference trainer.test with limit_test_batches, train.py:258)."""
+    key = jax.random.PRNGKey(seed + 777)
+    logs_list = []
+    for i, batch in enumerate(test_loader):
+        if limit_batches is not None and i >= limit_batches:
+            break
+        key = jax.random.fold_in(key, i)
+        logs, _ = system.test_step(state, batch, key, jnp.float32(system.temperature))
+        logs_list.append(logs)
+    out = _mean_logs(logs_list)
+    if logger is not None and out:
+        logger.log({f"{k}": v for k, v in out.items()})
+    return out

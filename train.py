@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Train HPCS-TPU: hyperbolic hierarchical point-cloud segmentation.
+
+CLI-compatible with the reference (/root/reference/train.py:23-61 — same 29
+flags incl. the store_false traps), plus `--dataset synthetic` for hermetic
+runs and `--data_parallel N` for multi-device batch sharding.
+
+Examples:
+  python train.py --dataset synthetic --epochs 3 --batch 4 --fixed_points 256
+  python train.py --dataset shapenet --model vn_dgcnn_partseg --fixed_points 1024 \
+      --k 20 --eucl_embedding 32 --hyp_embedding 32 --margin 0.35 \
+      --t_per_anchor 50 --temperature 0.05 --epochs 50 --lr 0.05 --trade_off 0.1
+"""
+import argparse
+import os
+
+from hpcs_tpu.cli import add_train_args, configure, select_platform
+
+
+def read_configuration():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_train_args(parser)
+    return parser.parse_args()
+
+
+def main():
+    args = read_configuration()
+    select_platform(args.accelerator)
+
+    from hpcs_tpu.trainer import fit, test
+    from hpcs_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from hpcs_tpu.utils.logging import MetricLogger
+
+    system, train_loader, valid_loader, test_loader = configure(args)
+
+    run_name = f"{args.dataset}_{args.model}"
+    logger = MetricLogger(args.log, run_name, use_wandb=args.wandb == "online",
+                          wandb_mode=args.wandb, config=vars(args))
+    ckpt_dir = os.path.join(args.log, run_name, "checkpoints")
+
+    train_step_fn = None
+    if args.data_parallel != 1:
+        import jax
+
+        n_dev = args.data_parallel or len(jax.devices())
+        if n_dev > 1 and args.batch % n_dev == 0:
+            from hpcs_tpu.parallel import make_data_parallel_train_step
+
+            train_step_fn = make_data_parallel_train_step(system, n_dev)
+            print(f"data-parallel over {n_dev} devices")
+
+    state = None
+    if args.infer or args.resume:
+        import jax
+
+        sample = next(iter(test_loader))
+        state = system.init(jax.random.PRNGKey(args.seed), sample)
+        if args.resume:
+            print(f"Resuming model from {args.resume}")
+            state, _, _ = restore_checkpoint(args.resume, state)
+
+    if not args.infer:
+        state, best_val = fit(
+            system, train_loader, valid_loader,
+            epochs=args.epochs, patience=args.patience, seed=args.seed,
+            log_dir=args.log, run_name=run_name, logger=logger,
+            ckpt_dir=ckpt_dir, resume=args.resume or None,
+            train_step_fn=train_step_fn, state=state,
+        )
+        print("End Training")
+        save_checkpoint(os.path.join(ckpt_dir, "final"), state, system.cfg)
+
+    limit = None if args.infer else 10
+    results = test(system, state, test_loader, seed=args.seed,
+                   limit_batches=limit, logger=logger)
+    print({k: round(v, 4) for k, v in results.items()})
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
