@@ -60,6 +60,10 @@ def add_train_args(parser):
                         help='static triplet budget per step (0 = t_per_anchor * points)')
     parser.add_argument('--data_parallel', type=int, default=0,
                         help='shard the batch over this many devices (0 = all available)')
+    parser.add_argument('--profile', type=str, default='',
+                        help='write a jax.profiler trace to this directory')
+    parser.add_argument('--debug_nans', action='store_true',
+                        help='enable jax_debug_nans (pinpoints first NaN op)')
     return parser
 
 

@@ -98,18 +98,45 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
 
 
 def test(system: HypHCSystem, state, test_loader, *, seed=0, limit_batches=None,
-         logger: MetricLogger = None):
+         logger: MetricLogger = None, plot_dir=None):
     """Run the decode/test pass; returns mean metrics
-    (reference trainer.test with limit_test_batches, train.py:258)."""
+    (reference trainer.test with limit_test_batches, train.py:258).
+    With plot_dir, saves the 5-panel evaluation figure per object
+    (reference plot_inference path, base_hyp_hc.py:200-232)."""
     key = jax.random.PRNGKey(seed + 777)
     logs_list = []
     for i, batch in enumerate(test_loader):
         if limit_batches is not None and i >= limit_batches:
             break
         key = jax.random.fold_in(key, i)
-        logs, _ = system.test_step(state, batch, key, jnp.float32(system.temperature))
+        logs, extras = system.test_step(state, batch, key, jnp.float32(system.temperature))
         logs_list.append(logs)
+        if plot_dir:
+            _plot_batch(system, state, batch, extras, plot_dir, batch_index=i)
     out = _mean_logs(logs_list)
     if logger is not None and out:
         logger.log({f"{k}": v for k, v in out.items()})
     return out
+
+
+def _plot_batch(system, state, batch, extras, plot_dir, batch_index):
+    from .loss.hyphc import normalize_to_radius
+    from .utils.viz import plot_hyperbolic_eval
+
+    os.makedirs(plot_dir, exist_ok=True)
+    scale = np.asarray(state.params["scale"])[0]
+    x_p = np.asarray(extras["x_poincare"])
+    x_e = np.asarray(extras["x_euclidean"])
+    preds = np.asarray(extras["pred"])
+    ks = np.asarray(extras["best_k"])
+    scores = np.asarray(extras["best_score"])
+    Zs = np.asarray(extras["linkage"])
+    B = preds.shape[0]
+    for b in range(B):
+        emb = np.asarray(normalize_to_radius(jnp.asarray(x_p[b]), jnp.float32(scale)))
+        plot_hyperbolic_eval(
+            x=batch["points"][b], y=batch["labels"][b], y_pred=preds[b],
+            emb_hidden=x_e[b], emb_poincare=emb, linkage_matrix=Zs[b],
+            k=ks[b], score=scores[b],
+            screenshot=os.path.join(plot_dir, f"{batch_index * B + b}.png"),
+        )

@@ -79,7 +79,9 @@ def main():
     state = system.init(jax.random.PRNGKey(args.seed), sample)
     state, _, _ = restore_checkpoint(path, state)
 
-    results = test(system, state, loader, seed=args.seed, limit_batches=args.test_batches)
+    plot_dir = os.path.join(os.path.dirname(path) or ".", "plots") if args.plot_inference else None
+    results = test(system, state, loader, seed=args.seed,
+                   limit_batches=args.test_batches, plot_dir=plot_dir)
     print({k: round(v, 4) for k, v in results.items()})
 
 

@@ -26,6 +26,10 @@ def read_configuration():
 def main():
     args = read_configuration()
     select_platform(args.accelerator)
+    if args.debug_nans:
+        from hpcs_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
 
     from hpcs_tpu.trainer import fit, test
     from hpcs_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
@@ -59,6 +63,13 @@ def main():
             print(f"Resuming model from {args.resume}")
             state, _, _ = restore_checkpoint(args.resume, state)
 
+    profile_ctx = None
+    if args.profile:
+        from hpcs_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+
     if not args.infer:
         state, best_val = fit(
             system, train_loader, valid_loader,
@@ -71,9 +82,12 @@ def main():
         save_checkpoint(os.path.join(ckpt_dir, "final"), state, system.cfg)
 
     limit = None if args.infer else 10
+    plot_dir = os.path.join(args.log, run_name, "plots") if args.plot_inference else None
     results = test(system, state, test_loader, seed=args.seed,
-                   limit_batches=limit, logger=logger)
+                   limit_batches=limit, logger=logger, plot_dir=plot_dir)
     print({k: round(v, 4) for k, v in results.items()})
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     logger.close()
 
 
