@@ -59,14 +59,26 @@ def measure_tpu(batch_sizes=(16, 32, 64)):
     system = HypHCSystem(cfg)
     key = jax.random.PRNGKey(0)
 
+    LOOP = 10
+
     @jax.jit
-    def forward(params, batch_stats, points, dv):
-        x_euclidean, x_poincare = system.net.apply(
-            {"params": params, "batch_stats": batch_stats}, points, dv, train=False
+    def forward_loop(params, batch_stats, points, dv):
+        """LOOP forwards chained on device: measures pure device throughput
+        without per-iteration host dispatch latency (the remote-TPU tunnel
+        adds ~10 ms/dispatch).  Each iteration perturbs the input by an
+        iteration-dependent epsilon so XLA cannot collapse the loop."""
+
+        def body(i, carry):
+            pts = points + (i.astype(jnp.float32) * 1e-12) * carry[..., :1]
+            _, x_poincare = system.net.apply(
+                {"params": params, "batch_stats": batch_stats}, pts, dv, train=False
+            )
+            return carry + x_poincare.mean(axis=(1, 2), keepdims=True)
+
+        out = jax.lax.fori_loop(
+            0, LOOP, body, jnp.zeros((points.shape[0], 1, 1), jnp.float32)
         )
-        # scalar checksum: float() on it is a completion barrier even on
-        # backends where block_until_ready does not synchronize (axon tunnel)
-        return x_poincare, jnp.sum(x_poincare)
+        return jnp.sum(out)
 
     best = 0.0
     best_batch = 0
@@ -76,19 +88,17 @@ def measure_tpu(batch_sizes=(16, 32, 64)):
                  "labels": jnp.zeros((B, NPOINTS), jnp.int32),
                  "category": jnp.zeros((B,), jnp.int32)}
         state = system.init(key, batch)
-        iters = 10
-        xs = [jax.random.normal(jax.random.fold_in(key, i), (B, NPOINTS, 3))
-              for i in range(iters)]
-        # warmup + compile
-        _, s = forward(state.params, state.batch_stats, xs[0], dv)
-        float(s)
+        points = batch["points"]
+        # warmup + compile; float() is a completion barrier even where
+        # block_until_ready does not synchronize (axon tunnel)
+        float(forward_loop(state.params, state.batch_stats, points, dv))
+        reps = 3
         t0 = time.perf_counter()
-        for i in range(iters):
-            _, s = forward(state.params, state.batch_stats, xs[i], dv)
-            float(s)  # forced readback
+        for _ in range(reps):
+            float(forward_loop(state.params, state.batch_stats, points, dv))
         dt = time.perf_counter() - t0
-        cps = B * iters / dt
-        log(f"batch {B}: {cps:.1f} clouds/sec ({dt / iters * 1e3:.2f} ms/iter)")
+        cps = B * LOOP * reps / dt
+        log(f"batch {B}: {cps:.1f} clouds/sec ({dt / (LOOP * reps) * 1e3:.2f} ms/forward)")
         if cps > best:
             best, best_batch = cps, B
     return best, best_batch

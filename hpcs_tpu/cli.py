@@ -64,6 +64,8 @@ def add_train_args(parser):
                         help='write a jax.profiler trace to this directory')
     parser.add_argument('--debug_nans', action='store_true',
                         help='enable jax_debug_nans (pinpoints first NaN op)')
+    parser.add_argument('--bf16', action='store_true',
+                        help='bf16 backbone compute (fp32 norm math)')
     return parser
 
 
@@ -167,6 +169,7 @@ def configure(args):
         train_rotation=args.train_rotation,
         test_rotation=args.test_rotation,
         lr=args.lr,
+        bf16=args.bf16,
         num_triplets=args.num_triplets or None,
         hierarchy_list=_freeze(hierarchy_list),
     )

@@ -41,6 +41,7 @@ class ModelConfig:
     test_rotation: str = "so3"
     # optimization
     lr: float = 0.005
+    bf16: bool = False  # bf16 compute in the backbone (norm math stays fp32)
     # hierarchy (PartNet): nested per-level branch lists of leaf ids
     hierarchy_list: Tuple = ()
 

@@ -5,12 +5,15 @@ def make_backbone(cfg):
     """Backbone dispatch mirroring configure_feature_extractor
     (/root/reference/train.py:64-97)."""
     if cfg.model_name == "vn_dgcnn_partseg":
+        import jax.numpy as jnp
+
         return VNDGCNNPartSeg(
             out_features=cfg.eucl_dim,
             k=cfg.k,
             dropout=cfg.dropout,
             pooling=cfg.pooling,
             num_categories=cfg.num_categories,
+            compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         )
     if cfg.model_name == "dgcnn_partseg":
         from .dgcnn import DGCNNPartSeg

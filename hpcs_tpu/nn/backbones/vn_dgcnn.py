@@ -10,7 +10,7 @@ that embeddings/metrics are comparable.  Differences by design:
 - the kNN graph + gather runs through hpcs_tpu.ops (XLA or Pallas path);
 - dropout/batchnorm are explicit flax collections instead of torch modules.
 """
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,14 +31,16 @@ class _ScalarConvBNRelu(nn.Module):
     features: int
     negative_slope: float = 0.2
     use_relu: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(self.features, use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32)(x)
         if self.use_relu:
             x = nn.leaky_relu(x, self.negative_slope)
-        return x
+        return x.astype(self.dtype)
 
 
 class VNDGCNNPartSeg(nn.Module):
@@ -49,6 +51,8 @@ class VNDGCNNPartSeg(nn.Module):
     dropout: float = 0.5
     pooling: str = "mean"  # 'mean' | 'max'
     num_categories: int = 16
+    compute_dtype: Any = jnp.float32  # bf16 halves HBM traffic of the edge
+    # tensors and doubles MXU rate; norm math stays fp32 (see nn.vn.layers)
 
     def _pool(self, name):
         if self.pooling == "max":
@@ -60,7 +64,7 @@ class VNDGCNNPartSeg(nn.Module):
         """points: [B, N, 3]; label: [B, num_categories] one-hot (or part-presence
         vector); returns per-point features [B, N, out_features]."""
         B, N, _ = points.shape
-        x = points[:, :, None, :]  # [B, N, 1, 3]
+        x = points.astype(self.compute_dtype)[:, :, None, :]  # [B, N, 1, 3]
 
         # --- EdgeConv stage 1 (lift from coordinates) ---
         e, _ = graph_feature_vn(x, self.k)  # [B, N, K, 2, 3]
@@ -93,16 +97,18 @@ class VNDGCNNPartSeg(nn.Module):
 
         x_global = x_std.max(axis=1)  # [B, 2046]
 
-        l = _ScalarConvBNRelu(64, name="conv7")(label, train=train)  # [B, 64]
+        l = _ScalarConvBNRelu(64, name="conv7", dtype=self.compute_dtype)(
+            label.astype(self.compute_dtype), train=train
+        )  # [B, 64]
 
         fused = jnp.concatenate([x_global, l], axis=-1)  # [B, 2110]
         fused = jnp.broadcast_to(fused[:, None, :], (B, N, fused.shape[-1]))
         h = jnp.concatenate([fused, x123_inv], axis=-1)  # [B, N, 2299]
 
-        h = _ScalarConvBNRelu(256, name="conv8")(h, train=train)
+        h = _ScalarConvBNRelu(256, name="conv8", dtype=self.compute_dtype)(h, train=train)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = _ScalarConvBNRelu(256, name="conv9")(h, train=train)
+        h = _ScalarConvBNRelu(256, name="conv9", dtype=self.compute_dtype)(h, train=train)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = _ScalarConvBNRelu(128, name="conv10")(h, train=train)
+        h = _ScalarConvBNRelu(128, name="conv10", dtype=self.compute_dtype)(h, train=train)
         h = _ScalarConvBNRelu(self.out_features, use_relu=False, name="conv11")(h, train=train)
-        return h
+        return h.astype(jnp.float32)

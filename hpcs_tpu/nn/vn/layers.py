@@ -22,8 +22,13 @@ EPS = 1e-6
 
 
 def _channel_mix(x, kernel):
-    """Apply a [C_in, C_out] mixing matrix over the channel axis of [..., C, 3]."""
-    return jnp.einsum("...cv,cd->...dv", x, kernel)
+    """Apply a [C_in, C_out] mixing matrix over the channel axis of [..., C, 3].
+    The kernel follows the feature dtype (bf16 features -> bf16 MXU matmul
+    with fp32 accumulation)."""
+    return jnp.einsum(
+        "...cv,cd->...dv", x, kernel.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
 
 
 class VNLinear(nn.Module):
@@ -42,14 +47,19 @@ class VNLinear(nn.Module):
 
 def _vn_leaky_relu(p, d, negative_slope):
     """Direction-gated leaky ReLU: keep p where <p, d> >= 0, else reflect the
-    component of p along d out (half-space projection), then blend by slope."""
-    dotprod = jnp.sum(p * d, axis=-1, keepdims=True)
-    d_norm_sq = jnp.sum(d * d, axis=-1, keepdims=True)
-    mask = (dotprod >= 0).astype(p.dtype)
-    projected = p - (dotprod / (d_norm_sq + EPS)) * d
-    return negative_slope * p + (1 - negative_slope) * (
-        mask * p + (1 - mask) * projected
+    component of p along d out (half-space projection), then blend by slope.
+    The dot/norm math runs in fp32 even for bf16 features (divisions by
+    near-zero norms are precision-critical); the result keeps p's dtype."""
+    pf = p.astype(jnp.float32)
+    df = d.astype(jnp.float32)
+    dotprod = jnp.sum(pf * df, axis=-1, keepdims=True)
+    d_norm_sq = jnp.sum(df * df, axis=-1, keepdims=True)
+    mask = (dotprod >= 0).astype(jnp.float32)
+    projected = pf - (dotprod / (d_norm_sq + EPS)) * df
+    out = negative_slope * pf + (1 - negative_slope) * (
+        mask * pf + (1 - mask) * projected
     )
+    return out.astype(p.dtype)
 
 
 class VNLeakyReLU(nn.Module):
@@ -79,14 +89,15 @@ class VNBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = jnp.sqrt(jnp.sum(x * x, axis=-1) + EPS * EPS) + EPS
+        xf = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1) + EPS * EPS) + EPS
         norm_bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             name="bn",
         )(norm)
-        return x / norm[..., None] * norm_bn[..., None]
+        return (xf / norm[..., None] * norm_bn[..., None]).astype(x.dtype)
 
 
 class VNLinearLeakyReLU(nn.Module):

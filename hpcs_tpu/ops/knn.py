@@ -18,6 +18,8 @@ def pairwise_neg_sqdist(x, y=None):
     the MXU in fp32."""
     if y is None:
         y = x
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=-1)
     y2 = jnp.sum(y * y, axis=-1)
     inner = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)

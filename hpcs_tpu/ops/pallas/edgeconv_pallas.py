@@ -62,18 +62,18 @@ def _gated_block(e, W, Wd, a, b, slope, rows):
 
 
 def _edgeconv_kernel(e_ref, w1_ref, wd1_ref, ab1_ref, w2_ref, wd2_ref, ab2_ref,
-                     out_ref, *, slope, n_convs):
-    tn, k = e_ref.shape[1], e_ref.shape[2]
-    c_in = e_ref.shape[4]
-    rows = tn * k
-    e = e_ref[0].reshape(rows * 3, c_in)
+                     out_ref, *, k, slope, n_convs):
+    rows3 = e_ref.shape[1]  # tn * k * 3
+    rows = rows3 // 3
+    tn = rows // k
+    e = e_ref[0]  # [tn*k*3, 2C] — already lane-major, no reshape needed
 
     h = _gated_block(e, w1_ref[:], wd1_ref[:], ab1_ref[0], ab1_ref[1], slope, rows)
     if n_convs == 2:
         h = _gated_block(h, w2_ref[:], wd2_ref[:], ab2_ref[0], ab2_ref[1], slope, rows)
 
     c_out = h.shape[-1]
-    out_ref[0] = jnp.mean(h.reshape(tn, k, 3, c_out), axis=1)
+    out_ref[0] = jnp.mean(h.reshape(tn, k, 3, c_out), axis=1).reshape(tn * 3, c_out)
 
 
 def _pick_row_tile(n, k, c):
@@ -110,23 +110,33 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
         C_out = W1.shape[1]
 
     tn = _pick_row_tile(N, K, 2 * C)
-    on_tpu = jax.default_backend() == "tpu"
+    # The Mosaic compile of this kernel is currently pathologically slow on
+    # the v5e AOT toolchain (>20 min; suspected interaction of tiny lane dims
+    # with the sublane-split reshapes), so the kernel is opt-in via
+    # HPCS_TPU_FUSED_EDGECONV=1 until that is resolved; the XLA fallback
+    # below is numerically identical.
+    import os
+
+    on_tpu = (jax.default_backend() == "tpu"
+              and os.environ.get("HPCS_TPU_FUSED_EDGECONV") == "1")
     if not HAVE_PALLAS or tn is None or not (on_tpu or interpret):
         return _edgeconv_xla(x, idx, W1, Wd1, ab1, W2, Wd2, ab2, slope, n_convs)
 
     x = x.astype(jnp.float32)
     nbr = gather_neighbors(x, idx)  # [B, N, K, C, 3]
     center = jnp.broadcast_to(x[:, :, None], nbr.shape)
-    # single fused XLA producer: [B, N, K, 3, 2C] with channels last (lanes)
+    # single fused XLA producer, flattened lane-major: [B, N*K*3, 2C]
     e = jnp.concatenate([nbr - center, center], axis=-2).transpose(0, 1, 2, 4, 3)
+    e = e.reshape(B, N * K * 3, 2 * C)
 
-    kernel = functools.partial(_edgeconv_kernel, slope=slope, n_convs=n_convs)
+    kernel = functools.partial(_edgeconv_kernel, k=K, slope=slope, n_convs=n_convs)
     grid = (B, N // tn)
+    rows3 = tn * K * 3
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tn, K, 3, 2 * C), lambda b, i: (b, i, 0, 0, 0),
+            pl.BlockSpec((1, rows3, 2 * C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -135,12 +145,12 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tn, 3, C_out), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, tn * 3, C_out), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, 3, C_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, N * 3, C_out), jnp.float32),
         interpret=interpret,
     )(e, W1, Wd1, ab1, W2, Wd2, ab2)
-    return out.transpose(0, 1, 3, 2)  # -> [B, N, C_out, 3]
+    return out.reshape(B, N, 3, C_out).transpose(0, 1, 3, 2)  # -> [B, N, C_out, 3]
 
 
 def _vn_llr_block(e, W, Wd, a, b, slope):

@@ -78,3 +78,37 @@ def test_vn_dgcnn_grads_finite():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(l)) for l in leaves)
     assert any(np.abs(l).max() > 0 for l in leaves)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="XLA:CPU lacks bf16 dot support (validated on TPU in bench)")
+def test_vn_dgcnn_bf16_close_to_fp32():
+    model32 = VNDGCNNPartSeg(out_features=16, k=8, num_categories=16)
+    model16 = VNDGCNNPartSeg(out_features=16, k=8, num_categories=16,
+                             compute_dtype=jnp.bfloat16)
+    pts = jax.random.normal(KEY, (2, 64, 3))
+    label = jax.nn.one_hot(jnp.zeros((2,), jnp.int32), 16)
+    variables = model32.init({"params": KEY}, pts, label, train=False)
+    out32 = jax.jit(lambda v, p, l: model32.apply(v, p, l, train=False))(variables, pts, label)
+    out16 = jax.jit(lambda v, p, l: model16.apply(v, p, l, train=False))(variables, pts, label)
+    assert out16.dtype == jnp.float32  # final output upcast
+    err = jnp.abs(out32 - out16).max() / (jnp.abs(out32).max() + 1e-6)
+    assert float(err) < 0.1  # bf16 noise, not garbage
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="XLA:CPU lacks bf16 dot support (validated on TPU in bench)")
+def test_vn_dgcnn_bf16_so3_invariance():
+    model = VNDGCNNPartSeg(out_features=8, k=8, num_categories=16,
+                           compute_dtype=jnp.bfloat16)
+    pts = jax.random.normal(KEY, (2, 64, 3))
+    label = jax.nn.one_hot(jnp.zeros((2,), jnp.int32), 16)
+    variables = model.init({"params": KEY}, pts, label, train=False)
+    angles = jax.random.uniform(jax.random.fold_in(KEY, 2), (3,)) * 2 * jnp.pi
+    R = rot_3d(angles[0], angles[1], angles[2])
+    fwd = jax.jit(lambda v, p, l: model.apply(v, p, l, train=False))
+    out0 = fwd(variables, pts, label)
+    out1 = fwd(variables, pts @ R.T, label)
+    # invariance bounded by bf16 rounding of the features
+    scale = float(jnp.abs(out0).max())
+    assert float(jnp.abs(out0 - out1).max()) < 0.05 * scale + 0.02
