@@ -6,8 +6,11 @@ Measures the Pallas-vs-XLA kNN at N=4096 (where the XLA path materializes a
 training-step throughput at the flagship config.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -13,6 +13,7 @@ import os.path as osp
 
 import numpy as np
 
+from .fast_txt import loadtxt as fast_loadtxt
 from .transforms import pc_normalize
 
 SEG_CLASSES = {
@@ -76,7 +77,9 @@ class ShapeNetDataset:
         else:
             cat, path = self.datapath[index]
             cls = np.int64(self.classes[cat])
-            data = np.loadtxt(path).astype(np.float32)
+            # native C++ parser (~30-60x np.loadtxt); ShapeNet rows are
+            # x y z nx ny nz seg
+            data = fast_loadtxt(path, n_cols=7)
             point_set = data[:, 0:6] if self.normal_channel else data[:, 0:3]
             seg = data[:, -1].astype(np.int64)
             point_set = np.concatenate(

@@ -1,0 +1,55 @@
+"""Native text-parser tests: correctness vs numpy and speed sanity."""
+import time
+
+import numpy as np
+import pytest
+
+from hpcs_tpu.data.fast_txt import available, loadtxt
+
+
+@pytest.fixture(scope="module")
+def txt_file(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    data = rng.randn(2000, 7).astype(np.float32)
+    data[:, 6] = rng.randint(0, 50, 2000)
+    path = tmp_path_factory.mktemp("txt") / "cloud.txt"
+    np.savetxt(path, data, fmt="%.6f")
+    return str(path), data
+
+
+def test_native_available():
+    assert available(), "g++ toolchain expected in this environment"
+
+
+def test_matches_numpy(txt_file):
+    path, data = txt_file
+    got = loadtxt(path, n_cols=7)
+    want = np.loadtxt(path).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, data, atol=1e-5)
+
+
+def test_handles_trailing_newline_and_blank_lines(tmp_path):
+    p = tmp_path / "odd.txt"
+    p.write_text("1.0 2.0 3.0\n\n4.5 5.5 6.5\n\n\n")
+    got = loadtxt(str(p), n_cols=3)
+    np.testing.assert_allclose(got, [[1.0, 2.0, 3.0], [4.5, 5.5, 6.5]])
+
+
+def test_speedup_over_numpy(txt_file):
+    path, _ = txt_file
+    loadtxt(path, n_cols=7)  # ensure built
+    t0 = time.perf_counter()
+    for _ in range(5):
+        loadtxt(path, n_cols=7)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.loadtxt(path)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy  # typically 30-60x; just assert a win
+
+
+def test_missing_file_raises():
+    with pytest.raises((FileNotFoundError, IOError)):
+        loadtxt("/nonexistent/file.txt")
