@@ -95,3 +95,29 @@ def purity_host(y_true, y_pred):
         if len(members):
             correct += np.bincount(members).max()
     return correct / len(y_true)
+
+
+def compute_scores(y_true, y_pred, threshold=0.0, print_info=False, sample_name=None):
+    """Binary prediction scores (reference scores.py:14-57)."""
+    from sklearn.metrics import (
+        accuracy_score,
+        f1_score,
+        jaccard_score,
+        precision_score,
+        recall_score,
+    )
+
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
+    if threshold > 0.0:
+        y_pred = (y_pred > threshold).flatten()
+    scores = {
+        "f1": f1_score(y_true, y_pred),
+        "recall": recall_score(y_true, y_pred),
+        "precision": precision_score(y_true, y_pred),
+        "acc": accuracy_score(y_true, y_pred),
+        "jaccard": jaccard_score(y_true, y_pred),
+    }
+    if print_info:
+        print(f"Scores {sample_name}: {scores}")
+    return scores
