@@ -15,6 +15,7 @@ folded into the batch; BatchNorm statistics are computed on vector norms
 """
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,11 +24,15 @@ EPS = 1e-6
 
 def _channel_mix(x, kernel):
     """Apply a [C_in, C_out] mixing matrix over the channel axis of [..., C, 3].
-    The kernel follows the feature dtype (bf16 features -> bf16 MXU matmul
-    with fp32 accumulation)."""
+
+    Precision: TPU fp32 matmuls default to single-pass bf16 on the MXU, which
+    breaks the exact SO(3) invariance this architecture is built around
+    (~1e-3 deviations).  fp32 features therefore force HIGHEST precision;
+    bf16 features (opt-in --bf16) keep the fast path."""
+    precision = None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     return jnp.einsum(
         "...cv,cd->...dv", x, kernel.astype(x.dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     ).astype(x.dtype)
 
 
@@ -185,12 +190,17 @@ class VNStdFeature(nn.Module):
             z0 = jnp.stack([u1, u2, u3], axis=-2)  # [..., 3, 3]
 
         # x_std[..., c, k] = sum_j x[..., c, j] * z0[..., k, j]
-        x_std = jnp.einsum("...cj,...kj->...ck", x, z0)
+        x_std = jnp.einsum("...cj,...kj->...ck", x, z0,
+                           precision=_inv_precision(x))
         return x_std, z0
+
+
+def _inv_precision(x):
+    return None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
 def invariant_project(x, z0):
     """Project equivariant features x [..., C, 3] through a frame z0 [..., 3, 3]
     into invariant scalars [..., C, 3(frame)] — the skip-connection path of
     VN-DGCNN (/root/reference/hpcs/nn/dgcnn/vn_dgcnn_partseg.py:85)."""
-    return jnp.einsum("...cj,...kj->...ck", x, z0)
+    return jnp.einsum("...cj,...kj->...ck", x, z0, precision=_inv_precision(x))

@@ -22,7 +22,11 @@ def pairwise_neg_sqdist(x, y=None):
     y = y.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=-1)
     y2 = jnp.sum(y * y, axis=-1)
-    inner = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU default (single-pass bf16) perturbs scores
+    # enough to flip ~12% of neighbor entries under rotation, destroying the
+    # SO(3) invariance of everything downstream
+    inner = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return 2.0 * inner - x2[..., :, None] - y2[..., None, :]
 
 

@@ -2,21 +2,27 @@
 
 Replaces the reference's dense Gram + library top-k
 (/root/reference/hpcs/nn/dgcnn/utils/vn_dgcnn_util.py:4-10) with a kernel
-that tiles rows of the score matrix through VMEM and selects the k nearest
-in-register, so the [N, N] matrix never reaches HBM — the XLA path writes
-B*N^2 fp32 scores to HBM and reads them back through a sort; for N = 4096
-that is ~0.5 GB of round-trip traffic per batch this kernel avoids.
+that computes a [TN, N] score tile on the MXU and selects the k nearest
+in-register, so the [N, N] matrix never reaches HBM — materializing it costs
+~25 ms at B=64/N=1024 (measured), which also rules out XLA's sort-based
+lax.top_k path (~22 ms end to end vs ~4-8 ms here).
 
-Design notes:
-- ranking key: 2 * x_i . x_j - |x_j|^2 (the row's own -|x_i|^2 is constant
-  per row and cannot change the ordering, so it is dropped);
-- scores for a [TN, N] row tile come from one MXU matmul in fp32;
-- exact top-k via k unrolled argmax passes (k is small: 10-40).  Ties pick
-  the smallest index, matching jax.lax.top_k / torch.topk;
-- the kernel runs per (batch, row-tile) grid cell; neighbor gather stays in
-  XLA (it fuses with the downstream concat).
+Precision (`exact`, default True): the TPU default single-pass-bf16 matmul
+perturbs scores enough to flip ~12% of neighbor entries when the input cloud
+is rotated, which destroys the SO(3)-invariance property this architecture
+exists for.  HIGHEST precision restores the fp32 noise floor (~95% identical
+neighbor sets; the residual flips are genuine geometric near-ties — an exact
+elementwise-distance variant reproduced the same flip set).  Mosaic charges
+heavily for HIGHEST (~27 ms extra at B=64/N=1024), so latency-critical users
+can set exact=False / HPCS_TPU_KNN_FAST=1 and accept graph jitter under
+rotation.
+
+Ranking key: 2 x_i.x_j - |x_j|^2 (the row's own -|x_i|^2 is constant per row
+and cannot change the ordering).  Ties pick the smallest index, matching
+jax.lax.top_k / torch.topk.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +40,7 @@ except Exception:  # pragma: no cover
 _NEG_INF = -3.4e38  # python float: jnp scalars would be captured tracers
 
 
-def _knn_kernel(x_rows_ref, x_all_ref, idx_ref, *, k):
+def _knn_kernel(x_rows_ref, x_all_ref, idx_ref, *, k, exact):
     x_rows = x_rows_ref[0]  # [TN, D]
     x_all = x_all_ref[0]  # [N, D]
     n = x_all.shape[0]
@@ -47,6 +53,7 @@ def _knn_kernel(x_rows_ref, x_all_ref, idx_ref, *, k):
             x_rows, x_all,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None,
         )
         - col_sq
     )  # [TN, N]
@@ -67,13 +74,19 @@ def _pick_row_tile(n):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def knn_pallas(x, k, interpret=False):
+def _default_exact():
+    return os.environ.get("HPCS_TPU_KNN_FAST") != "1"
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "exact"))
+def knn_pallas(x, k, interpret=False, exact=None):
     """Indices [B, N, k] of the k nearest neighbors (self included).
 
     x: [B, N, D] fp32.  Falls back to the XLA path when shapes do not tile
     or Pallas is unavailable.
     """
+    if exact is None:
+        exact = _default_exact()
     B, N, D = x.shape
     tn = _pick_row_tile(N)
     if not HAVE_PALLAS or tn is None or k > N:
@@ -83,9 +96,9 @@ def knn_pallas(x, k, interpret=False):
     # graph topology (matches torch.topk indices), and pallas_call has no
     # autodiff rule anyway.
     x = jax.lax.stop_gradient(x).astype(jnp.float32)
-    kernel = functools.partial(_knn_kernel, k=k)
+    kernel = functools.partial(_knn_kernel, k=k, exact=exact)
     grid = (B, N // tn)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -96,4 +109,3 @@ def knn_pallas(x, k, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
         interpret=interpret,
     )(x, x)
-    return out

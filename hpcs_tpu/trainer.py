@@ -79,6 +79,12 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
             step=global_step,
         )
 
+        print(
+            f"epoch {epoch}: train_loss={tl.get('total_loss', float('nan')):.4f} "
+            f"val_loss={val_loss:.4f} lr={lr:.2e} ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
         if val_loss < best_val:
             best_val = val_loss
             best_state = state
