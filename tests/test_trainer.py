@@ -1,0 +1,62 @@
+"""Host trainer-loop tests: early stopping, checkpointing, metric logging."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hpcs_tpu.data import DataLoader, SyntheticPartDataset
+from hpcs_tpu.models import HypHCSystem, ModelConfig
+from hpcs_tpu.trainer import fit
+from hpcs_tpu.trainer import test as run_decode_test
+from hpcs_tpu.utils.logging import MetricLogger
+
+
+def _tiny_system():
+    return HypHCSystem(ModelConfig(
+        dataset="shapenet", num_class=6, num_categories=2, fixed_points=32,
+        eucl_dim=4, hyp_dim=4, k=6, t_per_anchor=3, num_triplets=128,
+        temperature=0.1, lr=0.01,
+    ))
+
+
+def _loaders(n=4, b=2):
+    ds = SyntheticPartDataset(num_objects=n, npoints=32, num_categories=2,
+                              parts_per_object=3)
+    return (DataLoader(ds, b, shuffle=True, drop_last=True),
+            DataLoader(ds, b, drop_last=True))
+
+
+def test_fit_writes_checkpoints_and_metrics(tmp_path):
+    system = _tiny_system()
+    tr, va = _loaders()
+    logger = MetricLogger(str(tmp_path), "run")
+    state, best = fit(system, tr, va, epochs=2, patience=5, logger=logger,
+                      ckpt_dir=str(tmp_path / "ck"), log_dir=str(tmp_path))
+    logger.close()
+    assert np.isfinite(best)
+    assert (tmp_path / "ck" / "best" / "model.ckpt").exists()
+    assert (tmp_path / "ck" / "last" / "config.json").exists()
+    lines = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert len(lines) == 2
+    assert "val_loss" in lines[0] and "epoch_time_s" in lines[0]
+    assert (tmp_path / "run" / "metrics.csv").exists()
+
+
+def test_fit_early_stopping(tmp_path):
+    system = _tiny_system()
+    tr, va = _loaders()
+    # patience 1: stop as soon as val fails to improve twice
+    state, best = fit(system, tr, va, epochs=50, patience=1,
+                      log_dir=str(tmp_path), run_name="es")
+    lines = open(tmp_path / "es" / "metrics.jsonl").read().strip().split("\n")
+    assert len(lines) < 50  # stopped early
+
+
+def test_test_loop_limit_batches(tmp_path):
+    system = _tiny_system()
+    tr, va = _loaders(n=8, b=2)
+    state, _ = fit(system, tr, va, epochs=1, log_dir=str(tmp_path), run_name="t")
+    out = run_decode_test(system, state, va, limit_batches=2)
+    assert "score" in out and 0 <= out["score"] <= 1
