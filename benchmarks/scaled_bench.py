@@ -96,7 +96,7 @@ def bench_train_step(B=8, N=1024, iters=3):
 
 def bench_decode(B=8, N=1024, iters=3):
     from hpcs_tpu.decode import get_optimal_k
-    from hpcs_tpu.decode.linkage import cosine_distance_matrix, linkage_from_distances
+    from hpcs_tpu.decode.linkage import cosine_distance_matrix, linkage_from_distances_mnn as linkage_from_distances
 
     key = jax.random.PRNGKey(0)
     emb = jax.random.normal(key, (B, N, 32)) * 0.1

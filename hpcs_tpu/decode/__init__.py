@@ -4,6 +4,7 @@ from .linkage import (
     euclidean_distance_matrix,
     linkage,
     linkage_from_distances,
+    linkage_from_distances_mnn,
 )
 from .scores import (
     adjusted_rand_index,
@@ -20,6 +21,7 @@ __all__ = [
     "euclidean_distance_matrix",
     "linkage",
     "linkage_from_distances",
+    "linkage_from_distances_mnn",
     "adjusted_rand_index",
     "contingency",
     "eval_clustering",

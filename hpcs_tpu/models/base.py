@@ -18,7 +18,7 @@ import optax
 from flax import linen as nn
 
 from ..decode import get_optimal_k
-from ..decode.linkage import cosine_distance_matrix, linkage_from_distances
+from ..decode.linkage import cosine_distance_matrix, linkage_from_distances_mnn
 from ..geometry import project
 from ..loss import LossConfig, compute_losses, get_logits, hierarchy_sum_matrices
 from ..loss.hyphc import normalize_to_radius
@@ -249,7 +249,7 @@ class HypHCSystem:
 
         def decode_one(emb, labels):
             leaves = project(normalize_to_radius(emb, scale))
-            Z = linkage_from_distances(cosine_distance_matrix(leaves), method="complete")
+            Z = linkage_from_distances_mnn(cosine_distance_matrix(leaves), method="complete")
             pred, best_k, best_score = get_optimal_k(
                 labels, Z, num_class=self.cfg.num_class, index="iou"
             )

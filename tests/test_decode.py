@@ -137,3 +137,48 @@ def test_decode_batch_vmap():
     assert Zs.shape == (3, 63, 4)
     labels = jax.vmap(lambda Z: cut_maxclust(Z, jnp.int32(4)))(Zs)
     assert labels.shape == (3, 64)
+
+
+@pytest.mark.parametrize("method", ["complete", "single", "average"])
+def test_mnn_linkage_matches_scipy_exactly(method):
+    """The mutual-NN-rounds algorithm must reproduce scipy's dendrogram:
+    identical merge heights and identical partitions at every cut (the
+    NN-chain reducibility theorem guarantees this for these methods)."""
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    from hpcs_tpu.decode.linkage import (
+        cosine_distance_matrix,
+        linkage_from_distances_mnn,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(48, 4).astype(np.float32)
+    Zm = np.asarray(linkage_from_distances_mnn(
+        cosine_distance_matrix(jnp.asarray(x)), method=method))
+    Zs = linkage_host(x, method=method, metric="cosine")
+    np.testing.assert_allclose(np.sort(Zm[:, 2]), np.sort(Zs[:, 2]), atol=1e-5)
+    np.testing.assert_array_equal(np.sort(Zm[:, 3]), np.sort(Zs[:, 3]))
+    for k in (2, 3, 5, 8, 16):
+        pm = np.asarray(cut_maxclust(jnp.asarray(Zm), jnp.int32(k)))
+        ps = cut_maxclust_host(Zs, k)
+        assert adjusted_rand_score(pm, ps) == pytest.approx(1.0), (method, k)
+
+
+def test_mnn_linkage_sorted_and_well_formed():
+    from hpcs_tpu.decode.linkage import (
+        euclidean_distance_matrix,
+        linkage_from_distances_mnn,
+    )
+
+    x = jax.random.normal(KEY, (32, 3))
+    Z = np.asarray(linkage_from_distances_mnn(euclidean_distance_matrix(x)))
+    # heights nondecreasing (monotone linkage, sorted rows)
+    assert (np.diff(Z[:, 2]) >= -1e-6).all()
+    # every merged-cluster id referenced after it is created
+    for r in range(Z.shape[0]):
+        for col in (0, 1):
+            cid = int(Z[r, col])
+            if cid >= 32:
+                assert cid - 32 < r, f"row {r} references future cluster {cid}"
+    # final size = N
+    assert Z[-1, 3] == 32
