@@ -4,8 +4,10 @@ Consumes the exact parameter pytree of HypHCNet and reproduces
 net.apply(train=False) numerically, but routes the hot path through Pallas:
 kNN via the fused score/top-k kernel and each EdgeConv stage through the
 in-VMEM gather+conv+pool kernel, with every BatchNorm folded into an affine.
-This is the serving path behind bench.py; training and the general backbones
-use the flax graph.
+Parity-tested against the flax graph (tests/test_inference_engine.py) and
+benchmarked alongside it by bench.py; the flax graph remains the default
+serving path (the fused EdgeConv kernel is env-gated on real TPU, see
+ops/pallas/edgeconv_pallas.py).
 """
 import jax
 import jax.numpy as jnp

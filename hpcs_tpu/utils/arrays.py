@@ -64,6 +64,7 @@ def condense_confusion_matrix(conf_mat, input_labels, condense_list):
     for i, gi in enumerate(idx_groups):
         for j, gj in enumerate(idx_groups):
             out[i, j] = conf_mat[np.ix_(gi, gj)].sum()
-    assert out.sum() == conf_mat[np.ix_(sorted(sum(idx_groups, [])),
-                                        sorted(sum(idx_groups, [])))].sum() or True
+    kept = sorted(sum(idx_groups, []))
+    assert out.sum() == conf_mat[np.ix_(kept, kept)].sum(), \
+        "condensed matrix must preserve the total count of kept labels"
     return out

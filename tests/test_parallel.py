@@ -44,6 +44,17 @@ def test_dp_step_runs_on_8_devices():
     assert int(new_state.step) == 1
 
 
+def _assert_replicated(x, name):
+    """Every device's buffer must hold identical values.  out_specs=P() with
+    replication checking disabled keeps each device's own computed copy, so
+    comparing addressable shards detects real per-device drift."""
+    shards = [np.asarray(s.data) for s in x.addressable_shards]
+    assert len(shards) == 8, f"{name}: expected 8 per-device shards"
+    for i, s in enumerate(shards[1:], 1):
+        np.testing.assert_array_equal(
+            shards[0], s, err_msg=f"{name} diverged between device 0 and {i}")
+
+
 def test_dp_params_stay_replicated():
     system = _system()
     mesh = make_mesh(8)
@@ -52,14 +63,19 @@ def test_dp_params_stay_replicated():
     step = make_data_parallel_train_step(system, mesh=mesh)
     sharded = shard_batch(mesh, batch)
     new_state, _ = step(state, sharded, KEY, jnp.float32(0.1))
-    # every leaf must be identical on all devices (pmean'd grads -> same update)
-    w = new_state.params["cosface_W"]
-    gathered = np.asarray(jax.device_get(w))
-    assert np.all(np.isfinite(gathered))
-    # second step from the returned state must also work (state re-enters)
+    # pmean'd grads -> every device applies the same update -> all per-device
+    # copies of every leaf (params + opt_state moments) must stay bitwise equal
+    _assert_replicated(new_state.params["cosface_W"], "cosface_W")
+    _assert_replicated(new_state.params["scale"], "scale")
+    leaves = jax.tree_util.tree_leaves_with_path(new_state.params)
+    for path, leaf in leaves[:6]:
+        _assert_replicated(leaf, jax.tree_util.keystr(path))
+    assert np.all(np.isfinite(np.asarray(new_state.params["cosface_W"])))
+    # second step from the returned state must also work and stay replicated
     new_state2, logs2 = step(new_state, sharded, jax.random.fold_in(KEY, 1),
                              jnp.float32(0.1))
     assert np.isfinite(float(logs2["total_loss"]))
+    _assert_replicated(new_state2.params["cosface_W"], "cosface_W@step2")
 
 
 def test_dp_loss_comparable_to_single_device():
