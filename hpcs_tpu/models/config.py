@@ -42,6 +42,9 @@ class ModelConfig:
     # optimization
     lr: float = 0.005
     bf16: bool = False  # bf16 compute in the backbone (norm math stays fp32)
+    # VN feature layout: "cv" [.., C, 3] or lane-major "vc" [.., 3, C]
+    # (params are layout-independent; "vc" is the fast path on TPU)
+    layout: str = "vc"
     # hierarchy (PartNet): nested per-level branch lists of leaf ids
     hierarchy_list: Tuple = ()
 

@@ -14,6 +14,7 @@ def make_backbone(cfg):
             pooling=cfg.pooling,
             num_categories=cfg.num_categories,
             compute_dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+            layout=cfg.layout,
         )
     if cfg.model_name == "dgcnn_partseg":
         from .dgcnn import DGCNNPartSeg

@@ -5,8 +5,10 @@ Channel geometry is preserved exactly (64//3 = 21 vector channels per
 EdgeConv stage, 1024//3 = 341 global channels, 2299-channel fused head) so
 that embeddings/metrics are comparable.  Differences by design:
 
-- layout is [B, N, C, 3] (see hpcs_tpu.nn.vn.layers) — XLA folds B*N*K into
-  MXU rows for every channel-mixing matmul;
+- two layouts (see hpcs_tpu.nn.vn.layers): "cv" [B, N, C, 3] and lane-major
+  "vc" [B, N, 3, C].  "vc" puts the channel axis in the 128 TPU vector lanes,
+  lifting the lane utilization of the elementwise hot path from 3/128 to
+  C/128 (C = 21..682); parameters are layout-independent;
 - the kNN graph + gather runs through hpcs_tpu.ops (XLA or Pallas path);
 - dropout/batchnorm are explicit flax collections instead of torch modules.
 """
@@ -53,10 +55,11 @@ class VNDGCNNPartSeg(nn.Module):
     num_categories: int = 16
     compute_dtype: Any = jnp.float32  # bf16 halves HBM traffic of the edge
     # tensors and doubles MXU rate; norm math stays fp32 (see nn.vn.layers)
+    layout: str = "cv"  # "cv" [.., C, 3] | "vc" lane-major [.., 3, C]
 
     def _pool(self, name):
         if self.pooling == "max":
-            return VNMaxPool(name=name)
+            return VNMaxPool(layout=self.layout, name=name)
         return lambda x: mean_pool(x)
 
     @nn.compact
@@ -64,35 +67,41 @@ class VNDGCNNPartSeg(nn.Module):
         """points: [B, N, 3]; label: [B, num_categories] one-hot (or part-presence
         vector); returns per-point features [B, N, out_features]."""
         B, N, _ = points.shape
-        x = points.astype(self.compute_dtype)[:, :, None, :]  # [B, N, 1, 3]
+        lo = self.layout
+        caxis = -2 if lo == "cv" else -1
+        pts = points.astype(self.compute_dtype)
+        x = pts[:, :, None, :] if lo == "cv" else pts[:, :, :, None]
+
+        def _vnllr(ch, name, share=False):
+            return VNLinearLeakyReLU(ch, share_nonlinearity=share, layout=lo, name=name)
 
         # --- EdgeConv stage 1 (lift from coordinates) ---
-        e, _ = graph_feature_vn(x, self.k)  # [B, N, K, 2, 3]
-        e = VNLinearLeakyReLU(64 // 3, name="conv1")(e, train=train)
-        e = VNLinearLeakyReLU(64 // 3, name="conv2")(e, train=train)
-        x1 = self._pool("pool1")(e)  # [B, N, 21, 3]
+        e, _ = graph_feature_vn(x, self.k, layout=lo)  # [B, N, K, {2,3}, {3,2}]
+        e = _vnllr(64 // 3, "conv1")(e, train=train)
+        e = _vnllr(64 // 3, "conv2")(e, train=train)
+        x1 = self._pool("pool1")(e)  # 21 vector channels
 
         # --- EdgeConv stage 2 ---
-        e, _ = graph_feature_vn(x1, self.k)
-        e = VNLinearLeakyReLU(64 // 3, name="conv3")(e, train=train)
-        e = VNLinearLeakyReLU(64 // 3, name="conv4")(e, train=train)
+        e, _ = graph_feature_vn(x1, self.k, layout=lo)
+        e = _vnllr(64 // 3, "conv3")(e, train=train)
+        e = _vnllr(64 // 3, "conv4")(e, train=train)
         x2 = self._pool("pool2")(e)
 
         # --- EdgeConv stage 3 ---
-        e, _ = graph_feature_vn(x2, self.k)
-        e = VNLinearLeakyReLU(64 // 3, name="conv5")(e, train=train)
+        e, _ = graph_feature_vn(x2, self.k, layout=lo)
+        e = _vnllr(64 // 3, "conv5")(e, train=train)
         x3 = self._pool("pool3")(e)
 
-        x123 = jnp.concatenate([x1, x2, x3], axis=-2)  # [B, N, 63, 3]
+        x123 = jnp.concatenate([x1, x2, x3], axis=caxis)  # 63 vector channels
 
-        x = VNLinearLeakyReLU(1024 // 3, share_nonlinearity=True, name="conv6")(
-            x123, train=train
-        )  # [B, N, 341, 3]
+        x = _vnllr(1024 // 3, "conv6", share=True)(x123, train=train)  # 341 ch
         x_mean = jnp.broadcast_to(x.mean(axis=1, keepdims=True), x.shape)
-        x = jnp.concatenate([x, x_mean], axis=-2)  # [B, N, 682, 3]
+        x = jnp.concatenate([x, x_mean], axis=caxis)  # 682 ch
 
-        x_std, z0 = VNStdFeature(normalize_frame=False, name="std_feature")(x, train=train)
-        x123_inv = invariant_project(x123, z0).reshape(B, N, -1)  # [B, N, 189]
+        # x_std/x123_inv come out channel-major in both layouts (see layers)
+        x_std, z0 = VNStdFeature(normalize_frame=False, layout=lo,
+                                 name="std_feature")(x, train=train)
+        x123_inv = invariant_project(x123, z0, layout=lo).reshape(B, N, -1)  # [B, N, 189]
         x_std = x_std.reshape(B, N, -1)  # [B, N, 2046]
 
         x_global = x_std.max(axis=1)  # [B, 2046]

@@ -12,21 +12,24 @@ import jax.numpy as jnp
 from .knn import gather_neighbors, knn_auto as knn
 
 
-def graph_feature_vn(x, k, idx=None, coords=None):
+def graph_feature_vn(x, k, idx=None, coords=None, layout="cv"):
     """Vector-neuron edge features.
 
-    x: [B, N, C, 3] -> [B, N, K, 2C, 3] = concat(neighbor - center, center)
-    over the channel axis (reference get_graph_feature :13-41).
+    "cv": x [B, N, C, 3] -> [B, N, K, 2C, 3]; "vc": x [B, N, 3, C] ->
+    [B, N, K, 3, 2C] = concat(neighbor - center, center) over the channel
+    axis (reference get_graph_feature :13-41).
     If `coords` [B, N, D] is given, the kNN graph is built on those
     coordinates instead of the (flattened) features.
     """
-    B, N, C, _ = x.shape
+    B, N = x.shape[:2]
+    C3 = x.shape[-2] * x.shape[-1]
+    caxis = -2 if layout == "cv" else -1
     if idx is None:
-        metric = coords if coords is not None else x.reshape(B, N, C * 3)
+        metric = coords if coords is not None else x.reshape(B, N, C3)
         idx = knn(metric, k)
-    neighbors = gather_neighbors(x, idx)  # [B, N, K, C, 3]
+    neighbors = gather_neighbors(x, idx)  # [B, N, K, ., .]
     center = jnp.broadcast_to(x[:, :, None], neighbors.shape)
-    return jnp.concatenate([neighbors - center, center], axis=-2), idx
+    return jnp.concatenate([neighbors - center, center], axis=caxis), idx
 
 
 def graph_feature_cross_vn(x, k, idx=None):

@@ -1,0 +1,450 @@
+#!/usr/bin/env python
+"""Measured quality comparison: reference HPCS (torch, via tools/ref_compat
+shims) vs hpcs_tpu (jax), trained on IDENTICAL synthetic data with the
+canonical recipe scaled to CPU budget.
+
+This closes the BASELINE.json quality north star: dendrogram purity delta
+<= 0.5% between the two stacks, plus side-by-side loss curves, test acc/IoU
+and decode best-k score (reference metric definitions:
+/root/reference/hpcs/models/base_hyp_hc.py:192-245,
+/root/reference/hpcs/utils/scores.py:141-226).
+
+Stages (so the slow torch run can go to the background):
+    python tools/parity_experiment.py data     # shared dataset -> npz
+    python tools/parity_experiment.py ref      # train+test reference (slow)
+    python tools/parity_experiment.py jax      # train+test hpcs_tpu
+    python tools/parity_experiment.py decode   # same-embedding decode parity
+    python tools/parity_experiment.py report   # merge -> parity_vs_reference.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(ROOT, "benchmarks")
+DATA_NPZ = os.path.join(BENCH, "_parity_data.npz")
+REF_JSON = os.path.join(BENCH, "_parity_ref.json")
+JAX_JSON = os.path.join(BENCH, "_parity_jax.json")
+EMB_NPZ = os.path.join(BENCH, "_parity_jax_embeddings.npz")
+DECODE_JSON = os.path.join(BENCH, "_parity_decode.json")
+OUT_JSON = os.path.join(BENCH, "parity_vs_reference.json")
+
+# Experiment configuration: the canonical ShapeNet recipe
+# (/root/reference/run_train.sh, README.md:48-61) scaled to a CPU budget:
+# miner+cosface ON (the store_false defaults), SO(3) train/test rotation,
+# lr 0.05, temperature 0.1, trade_off 0.1, ExpMap embedder (eucl == hyp dim).
+CFG = dict(
+    num_categories=2,
+    parts_per_object=3,
+    num_class=6,
+    npoints=256,
+    batch_size=4,
+    n_train=32,
+    n_val=8,
+    n_test=16,
+    epochs=40,
+    eucl_dim=16,
+    hyp_dim=16,
+    k=10,
+    t_per_anchor=8,
+    fraction=1.2,
+    temperature=0.1,
+    lr=0.05,
+    margin=0.35,
+    trade_off=0.1,
+    train_rotation="so3",
+    test_rotation="so3",
+    seed=0,
+)
+
+
+def _ref_paths():
+    sys.path.insert(0, os.path.join(ROOT, "tools", "ref_compat"))
+    sys.path.insert(0, "/root/reference")
+
+
+def purity_score(y_true, y_pred):
+    """Reference purity (scores.py:202-226) on copies (it mutates y_true)."""
+    _ref_paths()
+    from hpcs.utils.scores import purity
+
+    return float(purity(np.array(y_true, copy=True), np.array(y_pred, copy=True)))
+
+
+# --------------------------------------------------------------------- data
+def make_data():
+    sys.path.insert(0, ROOT)
+    from hpcs_tpu.data import SyntheticPartDataset
+
+    c = CFG
+    total = c["n_train"] + c["n_val"] + c["n_test"]
+    ds = SyntheticPartDataset(
+        num_objects=total, npoints=c["npoints"],
+        num_categories=c["num_categories"],
+        parts_per_object=c["parts_per_object"], seed=c["seed"],
+    )
+    pts = np.stack([ds[i][0] for i in range(total)])
+    cat = np.array([ds[i][1] for i in range(total)])
+    seg = np.stack([ds[i][2] for i in range(total)])
+    os.makedirs(BENCH, exist_ok=True)
+    sl_tr = slice(0, c["n_train"])
+    sl_va = slice(c["n_train"], c["n_train"] + c["n_val"])
+    sl_te = slice(c["n_train"] + c["n_val"], total)
+    np.savez(
+        DATA_NPZ,
+        train_points=pts[sl_tr], train_cat=cat[sl_tr], train_seg=seg[sl_tr],
+        val_points=pts[sl_va], val_cat=cat[sl_va], val_seg=seg[sl_va],
+        test_points=pts[sl_te], test_cat=cat[sl_te], test_seg=seg[sl_te],
+    )
+    print(f"wrote {DATA_NPZ}: train {c['n_train']} val {c['n_val']} test {c['n_test']} "
+          f"({c['npoints']} pts, {c['num_class']} classes)")
+
+
+# ---------------------------------------------------------------- reference
+def run_reference():
+    _ref_paths()
+    import torch
+    from scipy.cluster.hierarchy import fcluster
+
+    torch.manual_seed(CFG["seed"])
+    np.random.seed(CFG["seed"])
+
+    from hpcs.models import ShapeNetHypHC
+    from hpcs.nn.dgcnn import VN_DGCNN_partseg
+    from hpcs.nn.hyperbolic.hyp_embed import ExpMap, MLPExpMap
+    from hpcs.optim import RAdam
+    from hpcs.utils.scores import get_optimal_k
+    from torch.optim import lr_scheduler
+
+    c = CFG
+    net = VN_DGCNN_partseg(in_channels=3, out_features=c["eucl_dim"], k=c["k"],
+                           dropout=0.0, pooling="mean",
+                           num_categories=c["num_categories"])
+    emb = (ExpMap() if c["eucl_dim"] == c["hyp_dim"]
+           else MLPExpMap(input_feat=c["eucl_dim"], out_feat=c["hyp_dim"]))
+    model = ShapeNetHypHC(
+        nn_feat=net, nn_emb=emb, euclidean_size=c["eucl_dim"],
+        hyp_size=c["hyp_dim"], lr=c["lr"], margin=c["margin"],
+        t_per_anchor=c["t_per_anchor"], fraction=c["fraction"],
+        temperature=c["temperature"], num_class=c["num_class"],
+        trade_off=c["trade_off"], miner=True, cosface=True,
+        plot_inference=False, train_rotation=c["train_rotation"],
+        test_rotation=c["test_rotation"],
+    )
+    # the reference hardcodes num_categories=16 (shapenet_hyp_hc.py:50); the
+    # backbone head was built for the experiment's category count
+    model.num_categories = c["num_categories"]
+
+    d = np.load(DATA_NPZ)
+    B = c["batch_size"]
+
+    def batches(split, shuffle_rng=None):
+        pts, cat, seg = d[f"{split}_points"], d[f"{split}_cat"], d[f"{split}_seg"]
+        order = np.arange(len(pts))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for s in range(0, len(order), B):
+            i = order[s:s + B]
+            yield (torch.from_numpy(pts[i]).float(),
+                   torch.from_numpy(cat[i]).long().view(-1, 1),
+                   torch.from_numpy(seg[i]).long())
+
+    opt = RAdam(model.parameters(), lr=c["lr"])
+    sched = lr_scheduler.ReduceLROnPlateau(opt, mode="min", factor=0.5,
+                                           patience=4, min_lr=1e-6)
+    rng = np.random.default_rng(c["seed"])
+    train_curve, val_curve = [], []
+    t_start = time.time()
+    for epoch in range(c["epochs"]):
+        model.train()
+        ep_losses = []
+        for bi, batch in enumerate(batches("train", rng)):
+            opt.zero_grad()
+            out = model.training_step(batch, bi)
+            out["loss"].backward()
+            opt.step()
+            ep_losses.append(float(out["loss"].detach()))
+        model.eval()
+        vlosses = []
+        for bi, batch in enumerate(batches("val")):
+            with torch.no_grad():
+                vout = model.validation_step(batch, bi)
+            vlosses.append(float(vout["val_loss"]))
+        sched.step(float(np.mean(vlosses)))
+        train_curve.append(float(np.mean(ep_losses)))
+        val_curve.append(float(np.mean(vlosses)))
+        print(f"[ref] epoch {epoch}: train={train_curve[-1]:.4f} "
+              f"val={val_curve[-1]:.4f} ({time.time() - t_start:.0f}s)", flush=True)
+    train_wall = time.time() - t_start
+
+    # ---- test: decode score (best-k IoU) + purity at the true-k cut
+    model.eval()
+    torch.manual_seed(c["seed"] + 777)  # test rotations
+    scores, purities, accs, ious, tlosses = [], [], [], [], []
+    with torch.no_grad():
+        for bi, batch in enumerate(batches("test")):
+            (losses, metrics, x_e, x_p, linkage_matrix, points,
+             targets) = model.forward(batch, testing=True)
+            tlosses.append(float(sum(l for l in losses.values())))
+            accs.append(float(metrics["acc"]))
+            ious.append(float(metrics["iou"]))
+            for oi in range(points.size(0)):
+                y = targets[oi].cpu()
+                Z = linkage_matrix[oi]
+                _, _, best_score = get_optimal_k(y, Z, "iou")
+                scores.append(float(best_score))
+                k_true = len(np.unique(y.numpy()))
+                y_pred = fcluster(Z, k_true, criterion="maxclust") - 1
+                purities.append(purity_score(y.numpy(), y_pred))
+
+    result = {
+        "train_loss_curve": train_curve,
+        "val_loss_curve": val_curve,
+        "train_wall_s": train_wall,
+        "test_loss": float(np.mean(tlosses)),
+        "test_acc": float(np.mean(accs)),
+        "test_iou": float(np.mean(ious)),
+        "decode_score_mean": float(np.mean(scores)),
+        "decode_purity_mean": float(np.mean(purities)),
+        "n_test_objects": len(scores),
+    }
+    with open(REF_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[ref] {json.dumps({k: v for k, v in result.items() if 'curve' not in k})}")
+
+
+# --------------------------------------------------------------------- jax
+def run_jax():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    sys.path.insert(0, ROOT)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hpcs_tpu import trainer as tpu_trainer
+    from hpcs_tpu.models import HypHCSystem, ModelConfig
+
+    c = CFG
+    d = np.load(DATA_NPZ)
+
+    class ArrayLoader:
+        def __init__(self, split, shuffle=False, seed=0):
+            self.pts = d[f"{split}_points"]
+            self.cat = d[f"{split}_cat"]
+            self.seg = d[f"{split}_seg"]
+            self.shuffle = shuffle
+            self._rng = np.random.default_rng(seed)
+
+        def __len__(self):
+            return len(self.pts) // c["batch_size"]
+
+        def __iter__(self):
+            order = np.arange(len(self.pts))
+            if self.shuffle:
+                self._rng.shuffle(order)
+            B = c["batch_size"]
+            for s in range(0, len(order), B):
+                i = order[s:s + B]
+                yield {"points": self.pts[i].astype(np.float32),
+                       "category": self.cat[i].astype(np.int32),
+                       "labels": self.seg[i].astype(np.int32)}
+
+    cfg = ModelConfig(
+        dataset="shapenet", model_name="vn_dgcnn_partseg",
+        num_class=c["num_class"], num_categories=c["num_categories"],
+        fixed_points=c["npoints"], eucl_dim=c["eucl_dim"],
+        hyp_dim=c["hyp_dim"], k=c["k"], t_per_anchor=c["t_per_anchor"],
+        fraction=c["fraction"], num_triplets=c["npoints"] * c["batch_size"] * c["t_per_anchor"],
+        temperature=c["temperature"], lr=c["lr"], margin=c["margin"],
+        trade_off=c["trade_off"], miner=True, cosface=True,
+        train_rotation=c["train_rotation"], test_rotation=c["test_rotation"],
+    )
+    system = HypHCSystem(cfg)
+    t0 = time.time()
+    state, best_val = tpu_trainer.fit(
+        system, ArrayLoader("train", shuffle=True, seed=c["seed"]),
+        ArrayLoader("val"), epochs=c["epochs"], patience=10 ** 6,
+        seed=c["seed"], log_dir=os.path.join(BENCH, "_parity_logs"),
+        run_name="parity_jax",
+    )
+    train_wall = time.time() - t0
+
+    # per-epoch curves are in the metric logger CSV; re-read them
+    curve_file = os.path.join(BENCH, "_parity_logs", "parity_jax", "metrics.csv")
+    train_curve, val_curve = [], []
+    if os.path.exists(curve_file):
+        import csv
+
+        with open(curve_file) as f:
+            for row in csv.DictReader(f):
+                if row.get("total_loss") not in (None, ""):
+                    train_curve.append(float(row["total_loss"]))
+                if row.get("val_loss") not in (None, ""):
+                    val_curve.append(float(row["val_loss"]))
+
+    # ---- test: reuse the jitted test_step, then score per object
+    from scipy.cluster.hierarchy import fcluster
+
+    key = jax.random.PRNGKey(c["seed"] + 777)
+    scores, purities, tlosses, accs, ious = [], [], [], [], []
+    emb_dump = {"x_poincare": [], "labels": [], "scale": None}
+    for bi, batch in enumerate(ArrayLoader("test")):
+        key = jax.random.fold_in(key, bi)
+        logs, extras = system.test_step(state, batch, key,
+                                        jnp.float32(system.temperature))
+        tlosses.append(float(logs["test_loss"]))
+        accs.append(float(logs["test_acc"]))
+        ious.append(float(logs["test_iou"]))
+        preds = np.asarray(extras["pred"])
+        Zs = np.asarray(extras["linkage"])
+        bscores = np.asarray(extras["best_score"])
+        emb_dump["x_poincare"].append(np.asarray(extras["x_poincare"]))
+        emb_dump["labels"].append(batch["labels"])
+        for oi in range(preds.shape[0]):
+            scores.append(float(bscores[oi]))
+            y = batch["labels"][oi]
+            k_true = len(np.unique(y))
+            y_pred = fcluster(Zs[oi], k_true, criterion="maxclust") - 1
+            purities.append(purity_score(y, y_pred))
+
+    emb_dump["scale"] = float(np.asarray(state.params["scale"])[0])
+    np.savez(EMB_NPZ,
+             x_poincare=np.concatenate(emb_dump["x_poincare"]),
+             labels=np.concatenate(emb_dump["labels"]),
+             scale=emb_dump["scale"])
+
+    result = {
+        "train_loss_curve": train_curve,
+        "val_loss_curve": val_curve,
+        "train_wall_s": train_wall,
+        "test_loss": float(np.mean(tlosses)),
+        "test_acc": float(np.mean(accs)),
+        "test_iou": float(np.mean(ious)),
+        "decode_score_mean": float(np.mean(scores)),
+        "decode_purity_mean": float(np.mean(purities)),
+        "n_test_objects": len(scores),
+    }
+    with open(JAX_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[jax] {json.dumps({k: v for k, v in result.items() if 'curve' not in k})}")
+
+
+# ------------------------------------------------------------ decode parity
+def run_decode_parity():
+    """Deterministic half of the north star: identical embeddings through BOTH
+    decode stacks (reference scipy pipeline vs hpcs_tpu on-device decode) must
+    give matching best-k scores and purity — isolates decode differences from
+    training-noise differences."""
+    _ref_paths()
+    sys.path.insert(0, ROOT)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+    from scipy.cluster.hierarchy import fcluster, linkage
+
+    from hpcs.utils.scores import get_optimal_k as ref_get_optimal_k
+    from hpcs_tpu.decode import get_optimal_k as tpu_get_optimal_k
+    from hpcs_tpu.decode.linkage import (cosine_distance_matrix,
+                                         linkage_from_distances_mnn)
+    from hpcs_tpu.geometry import project as tpu_project
+    from hpcs_tpu.loss.hyphc import normalize_to_radius
+
+    d = np.load(EMB_NPZ)
+    x_p, labels, scale = d["x_poincare"], d["labels"], float(d["scale"])
+
+    rows = []
+    for oi in range(x_p.shape[0]):
+        emb = x_p[oi]
+        y = labels[oi]
+        k_true = len(np.unique(y))
+        # reference decode: normalize -> project -> scipy linkage(complete, cosine)
+        leaves_t = torch.from_numpy(emb).float()
+        leaves_t = torch.nn.functional.normalize(leaves_t, p=2, dim=1) * np.clip(scale, 1e-4, 1)
+        from hpcs.distances.poincare import project as ref_project
+
+        leaves_t = ref_project(leaves_t).numpy()
+        Z_ref = linkage(leaves_t, method="complete", metric="cosine")
+        _, ref_k, ref_score = ref_get_optimal_k(torch.from_numpy(y).long(), Z_ref, "iou")
+        ref_pur = purity_score(y, fcluster(Z_ref, k_true, criterion="maxclust") - 1)
+
+        # hpcs_tpu decode: same normalize/project in jnp -> MNN linkage -> best-k
+        leaves_j = tpu_project(normalize_to_radius(jnp.asarray(emb), jnp.float32(scale)))
+        Z_tpu = linkage_from_distances_mnn(cosine_distance_matrix(leaves_j),
+                                           method="complete")
+        _, tpu_k, tpu_score = tpu_get_optimal_k(jnp.asarray(y), Z_tpu,
+                                                num_class=int(labels.max()) + 1,
+                                                index="iou")
+        tpu_pur = purity_score(y, fcluster(np.asarray(Z_tpu), k_true,
+                                           criterion="maxclust") - 1)
+        rows.append(dict(ref_score=float(ref_score), tpu_score=float(tpu_score),
+                         ref_purity=ref_pur, tpu_purity=tpu_pur,
+                         ref_k=int(ref_k), tpu_k=int(tpu_k)))
+
+    result = {
+        "n_objects": len(rows),
+        "ref_score_mean": float(np.mean([r["ref_score"] for r in rows])),
+        "tpu_score_mean": float(np.mean([r["tpu_score"] for r in rows])),
+        "ref_purity_mean": float(np.mean([r["ref_purity"] for r in rows])),
+        "tpu_purity_mean": float(np.mean([r["tpu_purity"] for r in rows])),
+        "max_abs_score_delta": float(max(abs(r["ref_score"] - r["tpu_score"]) for r in rows)),
+        "max_abs_purity_delta": float(max(abs(r["ref_purity"] - r["tpu_purity"]) for r in rows)),
+        "best_k_agreement": float(np.mean([r["ref_k"] == r["tpu_k"] for r in rows])),
+    }
+    with open(DECODE_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[decode] {json.dumps(result)}")
+
+
+# ------------------------------------------------------------------- report
+def report():
+    with open(REF_JSON) as f:
+        ref = json.load(f)
+    with open(JAX_JSON) as f:
+        jx = json.load(f)
+    dec = None
+    if os.path.exists(DECODE_JSON):
+        with open(DECODE_JSON) as f:
+            dec = json.load(f)
+    purity_delta_pct = 100.0 * abs(ref["decode_purity_mean"] - jx["decode_purity_mean"])
+    out = {
+        "description": "reference (torch/CPU via ref_compat) vs hpcs_tpu (jax/CPU), "
+                       "identical synthetic data, canonical recipe scaled to CPU",
+        "config": CFG,
+        "reference": ref,
+        "hpcs_tpu": jx,
+        "same_embedding_decode_parity": dec,
+        "purity_delta_pct_points": purity_delta_pct,
+        "score_delta": jx["decode_score_mean"] - ref["decode_score_mean"],
+        "north_star_purity_delta_le_0.5pct": purity_delta_pct <= 0.5
+        or jx["decode_purity_mean"] >= ref["decode_purity_mean"],
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("purity_delta_pct_points", "score_delta",
+                       "north_star_purity_delta_le_0.5pct")}, indent=1))
+    print(f"wrote {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=["data", "ref", "jax", "decode", "report", "all"])
+    args = ap.parse_args()
+    if args.stage in ("data", "all"):
+        make_data()
+    if args.stage in ("ref", "all"):
+        run_reference()
+    if args.stage in ("jax", "all"):
+        run_jax()
+    if args.stage in ("decode", "all"):
+        run_decode_parity()
+    if args.stage in ("report", "all"):
+        report()
