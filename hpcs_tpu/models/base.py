@@ -24,7 +24,7 @@ from ..loss import LossConfig, compute_losses, get_logits, hierarchy_sum_matrice
 from ..loss.hyphc import normalize_to_radius
 from ..nn.backbones import VNDGCNNPartSeg
 from ..nn.embed import make_embedder
-from ..optim import plateau_init, plateau_update, riemannian_adam
+from ..optim import plateau_init, plateau_update, riemannian_adam_fused
 from ..utils.metrics import accuracy_top1, multiclass_jaccard
 from ..utils.rotations import augment
 from .config import ModelConfig
@@ -125,7 +125,9 @@ class HypHCSystem:
             if cfg.use_hierarchical
             else None
         )
-        self.tx = optax.inject_hyperparams(riemannian_adam)(learning_rate=cfg.lr)
+        # fused = packed-bucket RAdam: numerically identical to the per-leaf
+        # form (tests/test_optim.py) at ~10x fewer TPU kernels per step
+        self.tx = optax.inject_hyperparams(riemannian_adam_fused)(learning_rate=cfg.lr)
         # host-side schedule state (ReduceLROnPlateau, temperature annealing)
         self.plateau = plateau_init(cfg.lr)
         self.temperature = cfg.temperature

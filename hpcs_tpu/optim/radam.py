@@ -102,6 +102,133 @@ def riemannian_adam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+# --------------------------------------------------------------------------
+# Fused (packed) Riemannian Adam
+#
+# The per-leaf formulation above emits ~12 elementwise ops per parameter leaf
+# (~50 leaves -> ~600 tiny TPU kernels), which measured at ~125 ms of a
+# 324 ms train step in round 1.  Every geometry op used by the update is
+# row-local and coordinate-subspace stable: reductions run over the last axis
+# with keepdims, and outputs are linear combinations of the input vectors —
+# so ZERO-PADDING the last axis changes nothing (padded coordinates stay 0,
+# norms/dots are unchanged).  That lets us pack all leaves as rows of a few
+# [R, D] buckets (D = trailing dim rounded up to a lane multiple) and run ONE
+# fused update chain per bucket.  Moments live packed in the optimizer state;
+# only params/grads are packed and deltas unpacked each step (cheap, fusible
+# data movement).
+# --------------------------------------------------------------------------
+
+
+class _PackSpec(NamedTuple):
+    """Static packing layout (computed once from the param tree structure)."""
+
+    treedef: "jax.tree_util.PyTreeDef"
+    buckets: tuple  # tuple of D_padded bucket keys, in order
+    # per-leaf: (bucket_index, row_offset, n_rows, trailing_dim, shape)
+    leaves: tuple
+
+
+def _lane_round(d, lane=128):
+    return max(lane, ((d + lane - 1) // lane) * lane)
+
+
+def _make_pack_spec(params) -> _PackSpec:
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    binfo = {}
+    leaf_specs = []
+    for x in leaves:
+        shape = tuple(x.shape) if x.ndim > 0 else (1,)
+        d = shape[-1]
+        db = _lane_round(d)
+        rows = 1
+        for s in shape[:-1]:
+            rows *= s
+        off = binfo.get(db, 0)
+        leaf_specs.append((db, off, rows, d, shape))
+        binfo[db] = off + rows
+    return _PackSpec(treedef=treedef, buckets=tuple(sorted(binfo)),
+                     leaves=tuple(leaf_specs))
+
+
+def _pack(spec: _PackSpec, tree):
+    """Tree -> {bucket_D: [R_b, D] fp32 array} (zero-padded rows)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    parts = {db: [] for db in spec.buckets}
+    for x, (db, _off, rows, d, shape) in zip(leaves, spec.leaves):
+        flat = jnp.reshape(x, (rows, d)).astype(jnp.float32)
+        if d < db:
+            flat = jnp.pad(flat, ((0, 0), (0, db - d)))
+        parts[db].append(flat)
+    return {db: jnp.concatenate(parts[db], axis=0) if len(parts[db]) > 1
+            else parts[db][0] for db in spec.buckets}
+
+
+def _unpack(spec: _PackSpec, packed, like):
+    """Inverse of _pack, restoring shapes/dtypes of `like`'s leaves."""
+    like_leaves = jax.tree_util.tree_leaves(like)
+    out = []
+    for x, (db, off, rows, d, shape) in zip(like_leaves, spec.leaves):
+        flat = jax.lax.dynamic_slice_in_dim(packed[db], off, rows, axis=0)[:, :d]
+        out.append(jnp.reshape(flat, x.shape).astype(x.dtype))
+    return jax.tree_util.tree_unflatten(spec.treedef, out)
+
+
+class FusedRAdamState(NamedTuple):
+    count: chex.Array
+    exp_avg: dict  # packed {D: [R, D]}
+    exp_avg_sq: dict  # packed
+
+
+def riemannian_adam_fused(
+    learning_rate=1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Packed-bucket Riemannian Adam; numerically identical to
+    `riemannian_adam` (see module docstring proof sketch), ~an order of
+    magnitude fewer TPU kernels per step."""
+
+    def init_fn(params):
+        spec = _make_pack_spec(params)
+        zeros = {db: jnp.zeros_like(v) for db, v in _pack(spec, params).items()}
+        return FusedRAdamState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=dict(zeros),
+            exp_avg_sq={db: jnp.zeros_like(v) for db, v in zeros.items()},
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("riemannian_adam_fused requires params")
+        spec = _make_pack_spec(params)
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        bias_correction1 = 1 - b1 ** count.astype(jnp.float32)
+        bias_correction2 = 1 - b2 ** count.astype(jnp.float32)
+        step_size = lr * bias_correction2**0.5 / bias_correction1
+
+        p_packed = _pack(spec, params)
+        g_packed = _pack(spec, updates)
+        deltas, m_new, v_new = {}, {}, {}
+        for db in spec.buckets:
+            point, grad = p_packed[db], g_packed[db]
+            grad = grad + weight_decay * point
+            rgrad = egrad2rgrad(point, grad)
+            m = b1 * state.exp_avg[db] + (1 - b1) * rgrad
+            v = b2 * state.exp_avg_sq[db] + (1 - b2) * inner(point, rgrad)
+            direction = m / (jnp.sqrt(v) + eps)
+            new_point = project(expmap(-step_size * direction, point))
+            m_new[db] = ptransp(point, new_point, m)
+            v_new[db] = v
+            deltas[db] = new_point - point
+        delta_tree = _unpack(spec, deltas, params)
+        return delta_tree, FusedRAdamState(count, m_new, v_new)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class PlateauState(NamedTuple):
     """ReduceLROnPlateau bookkeeping (host-side, per-epoch).
 

@@ -112,3 +112,66 @@ def test_plateau_schedule_matches_reference_semantics():
     for _ in range(100):
         s = plateau_update(s, 2.0)
     assert s.lr >= 1e-6
+
+
+# ---------------------------------------------------------------- fused RAdam
+def test_fused_radam_matches_per_leaf():
+    """riemannian_adam_fused (packed buckets, zero-padded lanes) must produce
+    the same trajectories as the per-leaf riemannian_adam on a heterogeneous
+    pytree."""
+    import optax
+
+    from hpcs_tpu.optim import riemannian_adam, riemannian_adam_fused
+
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    params = {
+        "a": {"kernel": 0.05 * jax.random.normal(ks[0], (7, 21)),
+              "bias": 0.01 * jax.random.normal(ks[1], (21,))},
+        "b": {"w": 0.05 * jax.random.normal(ks[2], (3, 5, 130)),
+              "scale": jnp.full((1,), 1e-3)},
+        "c": 0.02 * jax.random.normal(ks[3], (260,)),
+    }
+    tx_ref = riemannian_adam(learning_rate=0.05)
+    tx_fused = riemannian_adam_fused(learning_rate=0.05)
+    s_ref = tx_ref.init(params)
+    s_fused = tx_fused.init(params)
+    p_ref = params
+    p_fused = params
+    for step in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: 0.1 * jax.random.normal(jax.random.fold_in(ks[4], step), p.shape),
+            p_ref)
+        d_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, d_ref)
+        d_fused, s_fused = tx_fused.update(grads, s_fused, p_fused)
+        p_fused = optax.apply_updates(p_fused, d_fused)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_fused),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7, err_msg=str(ka))
+
+
+def test_fused_radam_jits_and_converges_to_ball_target():
+    import optax
+
+    from hpcs_tpu.geometry import project
+    from hpcs_tpu.optim import riemannian_adam_fused
+
+    target = jnp.array([0.3, -0.2, 0.1, 0.05])
+    params = {"x": jnp.zeros((4,))}
+    tx = riemannian_adam_fused(learning_rate=0.05)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum((project(p["x"]) - target) ** 2))(params)
+        deltas, state = tx.update(grads, state, params)
+        return optax.apply_updates(params, deltas), state, loss
+
+    for _ in range(300):
+        params, state, loss = step(params, state)
+    assert float(loss) < 1e-4
