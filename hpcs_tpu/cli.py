@@ -52,6 +52,11 @@ def add_train_args(parser):
     parser.add_argument('--hierarchy_list', '-hierarchy_list', default='[]', type=str, help='precomputed hierarchy list as JSON')
     parser.add_argument('--plot_inference', action='store_true', help='plot visualizations during testing')
     parser.add_argument('--pretrained', action='store_true', help='load pretrained model')
+    parser.add_argument('--pretrained_path', type=str, default='',
+                        help='explicit path to a raw backbone checkpoint (.t7/.pth); '
+                             'default follows the reference (train.py:76-96): '
+                             'model.partseg.vn_dgcnn.aligned.t7 for PartNet, '
+                             'checkpoints/vndgcnn_backbone/best_model.pth otherwise')
     parser.add_argument('--infer', action='store_true', help='set this flag if you want only infer')
     parser.add_argument('--resume', type=str, default='', help='path to checkpoint dir to resume')
     parser.add_argument('--wandb', '-wandb', default='offline', type=str, help='online/offline/disabled wandb mode')

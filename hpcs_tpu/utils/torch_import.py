@@ -96,6 +96,93 @@ def convert_vn_dgcnn(sd, prefix=""):
     return p, s
 
 
+def load_raw_backbone_state_dict(path):
+    """Read a raw pretrained VN-DGCNN backbone checkpoint in either format
+    the reference's surgery consumes (/root/reference/train.py:76-96):
+
+    - `model.partseg.vn_dgcnn.aligned.t7`: a torch-saved state_dict from
+      DataParallel training — keys carry a 'module.' prefix to strip;
+    - `best_model.pth`: a dict with a 'model_state_dict' entry.
+
+    Returns {name: np.ndarray} with prefixes normalized.
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "model_state_dict" in payload:
+        payload = payload["model_state_dict"]
+    if isinstance(payload, dict) and "state_dict" in payload:
+        payload = payload["state_dict"]
+    out = {}
+    for k, v in payload.items():
+        if hasattr(v, "detach"):
+            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+        else:
+            out[k.replace("module.", "")] = np.asarray(v)
+    return out
+
+
+def graft_pretrained_backbone(sd, params, batch_stats, out_features):
+    """The reference's pretrained-weight surgery (train.py:76-96) on flax
+    trees: graft every backbone tensor present in `sd` onto params/stats;
+    when the checkpoint's conv11 width differs from `out_features`, keep the
+    freshly initialized conv11 instead (the reference's head swap, which
+    overwrites the checkpoint's conv11.* with the new module's tensors).
+    Missing tensors keep current values (reference: load_state_dict
+    strict=False).  Returns new (params, batch_stats).
+    """
+    import copy
+
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+    new_p, new_s = convert_vn_dgcnn_partial(sd)
+
+    head_w = sd.get("conv11.0.weight")
+    swap_head = head_w is not None and int(np.asarray(head_w).shape[0]) != int(out_features)
+    if swap_head:
+        new_p.pop("conv11", None)
+        new_s.pop("conv11", None)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                if k in dst and tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"pretrained tensor {k} has shape {np.shape(v)}, "
+                        f"model expects {np.shape(dst[k])}")
+                dst[k] = v
+
+    merge(params["backbone"], new_p)
+    merge(batch_stats.setdefault("backbone", {}), new_s)
+    return params, batch_stats, swap_head
+
+
+def convert_vn_dgcnn_partial(sd, prefix=""):
+    """Like convert_vn_dgcnn but tolerant of missing modules (strict=False
+    semantics): converts only the subtrees whose tensors are all present."""
+    p, s = {}, {}
+    for name in ["conv1", "conv2", "conv3", "conv4", "conv5", "conv6"]:
+        if f"{prefix}{name}.map_to_feat.weight" in sd:
+            p[name], s[name] = _vn_llr(sd, prefix + name)
+    std_p, std_s = {}, {}
+    if f"{prefix}std_feature.vn1.map_to_feat.weight" in sd:
+        std_p["vn1"], std_s["vn1"] = _vn_llr(sd, prefix + "std_feature.vn1")
+    if f"{prefix}std_feature.vn2.map_to_feat.weight" in sd:
+        std_p["vn2"], std_s["vn2"] = _vn_llr(sd, prefix + "std_feature.vn2")
+    if f"{prefix}std_feature.vn_lin.weight" in sd:
+        std_p["frame_kernel"] = _t(sd[prefix + "std_feature.vn_lin.weight"])
+    if std_p:
+        p["std_feature"], s["std_feature"] = std_p, std_s
+    for i in range(7, 12):
+        name = f"conv{i}"
+        if f"{prefix}{name}.0.weight" in sd and f"{prefix}{name}.1.weight" in sd:
+            p[name], s[name] = _scalar_conv(sd, f"{prefix}{name}.0.weight",
+                                            f"{prefix}{name}.1")
+    return p, s
+
+
 def convert_lightning_checkpoint(sd, flax_params, flax_stats, model_name="vn_dgcnn_partseg"):
     """Full Lightning model.ckpt -> (params, batch_stats) for HypHCNet.
 

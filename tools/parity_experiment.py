@@ -404,40 +404,92 @@ def run_decode_parity():
 
 
 # ------------------------------------------------------------------- report
+def _load_side(side):
+    """All per-seed result files for one side, seed-ascending."""
+    import glob
+
+    runs = {}
+    for p in sorted(glob.glob(os.path.join(BENCH, f"_parity_{side}*.json"))):
+        base = os.path.basename(p)
+        if "embeddings" in base or "decode" in base:
+            continue
+        seed = 0
+        if "_s" in base:
+            seed = int(base.rsplit("_s", 1)[1].split(".")[0])
+        with open(p) as f:
+            runs[seed] = json.load(f)
+    return runs
+
+
 def report():
-    with open(REF_JSON) as f:
-        ref = json.load(f)
-    with open(JAX_JSON) as f:
-        jx = json.load(f)
+    ref_runs = _load_side("ref")
+    jax_runs = _load_side("jax")
     dec = None
     if os.path.exists(DECODE_JSON):
         with open(DECODE_JSON) as f:
             dec = json.load(f)
-    purity_delta_pct = 100.0 * abs(ref["decode_purity_mean"] - jx["decode_purity_mean"])
+
+    def agg(runs, key):
+        vals = [r[key] for r in runs.values()]
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "per_seed": {s: v[key] for s, v in runs.items()}}
+
+    keys = ("decode_purity_mean", "decode_score_mean", "test_acc", "test_iou",
+            "test_loss")
+    summary = {k: {"reference": agg(ref_runs, k), "hpcs_tpu": agg(jax_runs, k)}
+               for k in keys}
+    ref_pur = summary["decode_purity_mean"]["reference"]
+    jax_pur = summary["decode_purity_mean"]["hpcs_tpu"]
+    purity_delta_pct = 100.0 * abs(ref_pur["mean"] - jax_pur["mean"])
+    # run-to-run noise scale (pct points) for context on the delta
+    noise_pct = 100.0 * float(np.hypot(ref_pur["std"], jax_pur["std"]))
     out = {
-        "description": "reference (torch/CPU via ref_compat) vs hpcs_tpu (jax/CPU), "
-                       "identical synthetic data, canonical recipe scaled to CPU",
+        "description": "reference (torch/CPU via ref_compat shims) vs hpcs_tpu "
+                       "(jax/CPU), identical synthetic data, canonical recipe "
+                       "scaled to CPU; mean over independent training seeds",
         "config": CFG,
-        "reference": ref,
-        "hpcs_tpu": jx,
+        "n_seeds": {"reference": len(ref_runs), "hpcs_tpu": len(jax_runs)},
+        "summary": summary,
+        "reference_runs": ref_runs,
+        "hpcs_tpu_runs": jax_runs,
         "same_embedding_decode_parity": dec,
         "purity_delta_pct_points": purity_delta_pct,
-        "score_delta": jx["decode_score_mean"] - ref["decode_score_mean"],
+        "purity_run_noise_pct_points": noise_pct,
+        "score_delta": (summary["decode_score_mean"]["hpcs_tpu"]["mean"]
+                        - summary["decode_score_mean"]["reference"]["mean"]),
+        # the north star (BASELINE.json): decode purity delta <= 0.5 pct points.
+        # The deterministic half (identical embeddings through both decode
+        # stacks) is exact; the trained-run half is reported with its
+        # cross-seed noise.
+        "north_star_decode_parity_exact": bool(
+            dec and dec["max_abs_purity_delta"] == 0.0),
         "north_star_purity_delta_le_0.5pct": purity_delta_pct <= 0.5
-        or jx["decode_purity_mean"] >= ref["decode_purity_mean"],
+        or jax_pur["mean"] >= ref_pur["mean"],
+        "purity_delta_within_run_noise": purity_delta_pct <= 2.0 * noise_pct,
     }
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
-                      ("purity_delta_pct_points", "score_delta",
-                       "north_star_purity_delta_le_0.5pct")}, indent=1))
+                      ("n_seeds", "purity_delta_pct_points",
+                       "purity_run_noise_pct_points", "score_delta",
+                       "north_star_decode_parity_exact",
+                       "north_star_purity_delta_le_0.5pct",
+                       "purity_delta_within_run_noise")}, indent=1))
     print(f"wrote {OUT_JSON}")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["data", "ref", "jax", "decode", "report", "all"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (data stays fixed); results are written "
+                         "to _parity_{ref,jax}_s<seed>.json and aggregated by report")
     args = ap.parse_args()
+    CFG["seed"] = args.seed
+    if args.seed != 0:
+        REF_JSON = os.path.join(BENCH, f"_parity_ref_s{args.seed}.json")
+        JAX_JSON = os.path.join(BENCH, f"_parity_jax_s{args.seed}.json")
+        EMB_NPZ = os.path.join(BENCH, f"_parity_jax_embeddings_s{args.seed}.npz")
     if args.stage in ("data", "all"):
         make_data()
     if args.stage in ("ref", "all"):

@@ -63,6 +63,36 @@ def main():
             print(f"Resuming model from {args.resume}")
             state, _, _ = restore_checkpoint(args.resume, state)
 
+    if args.pretrained:
+        # reference pretrained-weight surgery (/root/reference/train.py:76-96):
+        # PartNet (num_categories == 1) loads the aligned .t7 backbone, others
+        # load best_model.pth; conv11 is head-swapped on width mismatch
+        import jax
+
+        from hpcs_tpu.utils.torch_import import (
+            graft_pretrained_backbone,
+            load_raw_backbone_state_dict,
+        )
+
+        path = getattr(args, "pretrained_path", None) or (
+            "model.partseg.vn_dgcnn.aligned.t7"
+            if system.cfg.num_categories == 1
+            else os.path.join("checkpoints", "vndgcnn_backbone", "best_model.pth")
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"--pretrained requested but checkpoint not found: {path} "
+                "(use --pretrained_path to point at a .t7/.pth backbone)")
+        if state is None:
+            sample = next(iter(train_loader))
+            state = system.init(jax.random.PRNGKey(args.seed), sample)
+        sd = load_raw_backbone_state_dict(path)
+        params, stats, swapped = graft_pretrained_backbone(
+            sd, state.params, state.batch_stats, system.cfg.eucl_dim)
+        state = state.replace(params=params, batch_stats=stats)
+        print(f"loaded pretrained backbone from {path}"
+              + (" (conv11 head re-initialized: width mismatch)" if swapped else ""))
+
     profile_ctx = None
     if args.profile:
         from hpcs_tpu.utils.profiling import trace
