@@ -276,10 +276,8 @@ def cut_maxclust(Z, k):
     N = Z.shape[0] + 1
     k = jnp.clip(k, 1, N)
     roots = _roots_after_merges(Z, N - k)
-    # relabel to consecutive: rank of first occurrence order via sort trick
-    sort_r = jnp.sort(roots)
-    uniq_mask = jnp.concatenate([jnp.array([True]), sort_r[1:] != sort_r[:-1]])
-    # labels = number of distinct root values < root
-    boundaries = jnp.cumsum(uniq_mask) - 1
-    labels = boundaries[jnp.searchsorted(sort_r, roots)]
-    return labels.astype(jnp.int32)
+    # relabel to consecutive ids (ascending root order) via presence-cumsum —
+    # O(2N) scatter+scan instead of a per-k sort+searchsorted
+    present = jnp.zeros((2 * N - 1,), jnp.int32).at[roots].set(1)
+    rank = jnp.cumsum(present) - 1
+    return rank[roots].astype(jnp.int32)

@@ -67,11 +67,14 @@ def _iou_matching_score(y_true, y_pred, n_true, c_max, k_max):
     iou_mat = jnp.where(union > 0, cont / jnp.maximum(union, 1e-12), 0.0)
     ind = jnp.argmax(iou_mat, axis=1)  # [c_max]
 
-    def body(i, y_remap):
-        claim = (y_pred == ind[i]) & (i < n_true)
-        return jnp.where(claim, i + 1, y_remap)
-
-    y_remap = jax.lax.fori_loop(0, c_max, body, jnp.zeros_like(y_pred))
+    # later true clusters overwrite earlier claims, so the winner for a
+    # predicted cluster p is max{i < n_true : ind[i] == p} — one scatter-max
+    # over [k_max] instead of a fori_loop over c_max
+    i_range = jnp.arange(c_max, dtype=jnp.int32)
+    valid_i = jnp.where(i_range < n_true, i_range, -1)
+    winner = jnp.full((k_max,), -1, jnp.int32).at[ind].max(valid_i)
+    w = winner[y_pred]
+    y_remap = jnp.where(w >= 0, w + 1, 0)
     eq = jnp.sum((y_remap == y_true + 1).astype(jnp.int32))
     n = y_true.shape[0]
     return eq.astype(jnp.float32) / jnp.maximum(2 * n - eq, 1).astype(jnp.float32)

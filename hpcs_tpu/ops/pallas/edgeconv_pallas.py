@@ -3,20 +3,26 @@
 One VN-DGCNN EdgeConv stage is: gather k neighbors -> edge features
 [neighbor - center || center] -> VNLinearLeakyReLU x2 (channel-mix matmul,
 BatchNorm on vector norms, direction-gated leaky ReLU) -> mean pool over k.
-The XLA path materializes every intermediate of the [B, N, K, 2C, 3] edge
-tensor in HBM (gather, concat, both conv outputs, both direction tensors,
-gate results — several ~0.7 GB round trips at B=64/N=1024/K=20).  Here XLA
-produces the edge tensor once (gather+sub+concat fuse into a single write)
-and a Pallas kernel runs conv -> norm-BN -> gated ReLU -> conv -> pool
-entirely in VMEM, writing only the pooled [B, N, C_out, 3] result: one read
-+ one small write instead of ~5 round trips.
+The XLA path materializes every intermediate of the edge tensor in HBM
+(gather, concat, both conv outputs, both direction tensors, gate results —
+several ~0.7 GB round trips at B=64/N=1024/K=20).  Here XLA produces the
+edge tensor once (gather+sub+concat+transpose fuse into a single write) and
+a Pallas kernel runs conv -> norm-BN -> gated ReLU -> conv -> pool entirely
+in VMEM, writing only the pooled result: one read + one small write instead
+of ~5 round trips.
 
-Layout: channels live on the *lane* axis — [rows*3, C] — so every channel
-mix is a plain MXU matmul and every in-kernel reshape only merges/splits
-sublane dimensions (Mosaic cannot relayout lanes).
+Kernel design (v2 — the round-1 version hung the Mosaic compiler >20 min):
+component-major blocks [3, rows, C].  The three vector components are
+statically indexed into three independent 2-D [rows, C] arrays, so every
+in-kernel op is a plain 2-D matmul or elementwise op — no reshapes, no
+sublane splits, nothing for Mosaic to relayout.  The mean-pool over k runs
+as one MXU matmul against an iota-built block-diagonal averaging matrix.
 
 Inference-only: BatchNorm uses running statistics (per-channel affine on
 vector norms), so no cross-tile reduction is needed.  Training stays on XLA.
+
+Behavioral reference: /root/reference/hpcs/nn/dgcnn/utils/vn_dgcnn_util.py:13-41
+(get_graph_feature) + vn_layers.py:48-77 (VNLinearLeakyReLU) + :152 (mean_pool).
 """
 import functools
 
@@ -40,46 +46,44 @@ def _affine_from_bn(scale, bias, mean, var, epsilon=1e-5):
     return a, bias - mean * a
 
 
-def _gated_block(e, W, Wd, a, b, slope, rows):
-    """One VNLinearLeakyReLU with folded BN.
+def _gated3(e, W, Wd, a, b, slope):
+    """One VNLinearLeakyReLU with folded BN on component-separated features.
 
-    e: [rows*3, C_in] (vector components interleaved in sublanes);
-    returns [rows*3, C_out].
+    e: 3-tuple of [rows, C_in]; returns a 3-tuple of [rows, C_out].
     """
-    p = jnp.dot(e, W, preferred_element_type=jnp.float32)
-    d = jnp.dot(e, Wd, preferred_element_type=jnp.float32)
-    c = p.shape[-1]
-    p3 = p.reshape(rows, 3, c)
-    d3 = d.reshape(rows, 3, c)
-    norm = jnp.sqrt(jnp.sum(p3 * p3, axis=1) + EPS * EPS) + EPS  # [rows, c]
-    p3 = p3 * ((a * norm + b) / norm)[:, None, :]
-    dot = jnp.sum(p3 * d3, axis=1)  # [rows, c]
-    dsq = jnp.sum(d3 * d3, axis=1)
-    mask = (dot >= 0).astype(p3.dtype)
-    coeff = (dot / (dsq + EPS)) * (1.0 - mask)
-    out = slope * p3 + (1 - slope) * (p3 - coeff[:, None, :] * d3)
-    return out.reshape(rows * 3, c)
+    p = [jnp.dot(ev, W, preferred_element_type=jnp.float32) for ev in e]
+    d = [jnp.dot(ev, Wd, preferred_element_type=jnp.float32) for ev in e]
+    norm = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2] + EPS * EPS) + EPS
+    aff = (a * norm + b) / norm
+    p = [pv * aff for pv in p]
+    dot = p[0] * d[0] + p[1] * d[1] + p[2] * d[2]
+    dsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    coeff = (dot / (dsq + EPS)) * (dot < 0).astype(jnp.float32)
+    return tuple(slope * pv + (1.0 - slope) * (pv - coeff * dv)
+                 for pv, dv in zip(p, d))
 
 
 def _edgeconv_kernel(e_ref, w1_ref, wd1_ref, ab1_ref, w2_ref, wd2_ref, ab2_ref,
                      out_ref, *, k, slope, n_convs):
-    rows3 = e_ref.shape[1]  # tn * k * 3
-    rows = rows3 // 3
+    rows = e_ref.shape[2]  # tn * k
     tn = rows // k
-    e = e_ref[0]  # [tn*k*3, 2C] — already lane-major, no reshape needed
-
-    h = _gated_block(e, w1_ref[:], wd1_ref[:], ab1_ref[0], ab1_ref[1], slope, rows)
+    e = (e_ref[0, 0], e_ref[0, 1], e_ref[0, 2])
+    h = _gated3(e, w1_ref[:], wd1_ref[:], ab1_ref[0], ab1_ref[1], slope)
     if n_convs == 2:
-        h = _gated_block(h, w2_ref[:], wd2_ref[:], ab2_ref[0], ab2_ref[1], slope, rows)
-
-    c_out = h.shape[-1]
-    out_ref[0] = jnp.mean(h.reshape(tn, k, 3, c_out), axis=1).reshape(tn * 3, c_out)
+        h = _gated3(h, w2_ref[:], wd2_ref[:], ab2_ref[0], ab2_ref[1], slope)
+    # mean over k as an MXU matmul: P[i, j] = (j // k == i) / k
+    src = jax.lax.broadcasted_iota(jnp.int32, (tn, rows), 1) // k
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (tn, rows), 0)
+    P = (src == tgt).astype(jnp.float32) * (1.0 / k)
+    out_ref[0, 0] = jnp.dot(P, h[0], preferred_element_type=jnp.float32)
+    out_ref[0, 1] = jnp.dot(P, h[1], preferred_element_type=jnp.float32)
+    out_ref[0, 2] = jnp.dot(P, h[2], preferred_element_type=jnp.float32)
 
 
 def _pick_row_tile(n, k, c):
-    budget = 6 * 1024 * 1024  # VMEM bytes for the edge block
+    budget = 4 * 1024 * 1024  # VMEM bytes for the 3-component edge block
     for tn in (128, 64, 32, 16, 8):
-        if n % tn == 0 and tn * k * 3 * c * 4 <= budget:
+        if n % tn == 0 and 3 * tn * k * c * 4 <= budget:
             return tn
     return None
 
@@ -110,33 +114,27 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
         C_out = W1.shape[1]
 
     tn = _pick_row_tile(N, K, 2 * C)
-    # The Mosaic compile of this kernel is currently pathologically slow on
-    # the v5e AOT toolchain (>20 min; suspected interaction of tiny lane dims
-    # with the sublane-split reshapes), so the kernel is opt-in via
-    # HPCS_TPU_FUSED_EDGECONV=1 until that is resolved; the XLA fallback
-    # below is numerically identical.
     import os
 
-    on_tpu = (jax.default_backend() == "tpu"
-              and os.environ.get("HPCS_TPU_FUSED_EDGECONV") == "1")
+    off = os.environ.get("HPCS_TPU_FUSED_EDGECONV") == "0"
+    on_tpu = jax.default_backend() == "tpu" and not off
     if not HAVE_PALLAS or tn is None or not (on_tpu or interpret):
         return _edgeconv_xla(x, idx, W1, Wd1, ab1, W2, Wd2, ab2, slope, n_convs)
 
     x = x.astype(jnp.float32)
     nbr = gather_neighbors(x, idx)  # [B, N, K, C, 3]
     center = jnp.broadcast_to(x[:, :, None], nbr.shape)
-    # single fused XLA producer, flattened lane-major: [B, N*K*3, 2C]
-    e = jnp.concatenate([nbr - center, center], axis=-2).transpose(0, 1, 2, 4, 3)
-    e = e.reshape(B, N * K * 3, 2 * C)
+    # single fused XLA producer, component-major: [B, 3, N*K, 2C]
+    e = jnp.concatenate([nbr - center, center], axis=-2)
+    e = e.transpose(0, 4, 1, 2, 3).reshape(B, 3, N * K, 2 * C)
 
     kernel = functools.partial(_edgeconv_kernel, k=K, slope=slope, n_convs=n_convs)
     grid = (B, N // tn)
-    rows3 = tn * K * 3
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rows3, 2 * C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, 3, tn * K, 2 * C), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -145,12 +143,12 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tn * 3, C_out), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, 3, tn, C_out), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N * 3, C_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 3, N, C_out), jnp.float32),
         interpret=interpret,
     )(e, W1, Wd1, ab1, W2, Wd2, ab2)
-    return out.reshape(B, N, 3, C_out).transpose(0, 1, 3, 2)  # -> [B, N, C_out, 3]
+    return out.transpose(0, 2, 3, 1)  # -> [B, N, C_out, 3]
 
 
 def _vn_llr_block(e, W, Wd, a, b, slope):

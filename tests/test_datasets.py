@@ -1,0 +1,158 @@
+"""Real-reader tests on fabricated mini datasets (no downloads).
+
+Covers ShapeNetDataset split membership / category filtering / seg label
+ranges / cache behavior (reference semantics shapenet.py:17-118) and
+PartNetDataset h5 loading (partnet.py:8-38).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hpcs_tpu.data import DataLoader
+from hpcs_tpu.data.shapenet import ShapeNetDataset
+
+h5py = pytest.importorskip("h5py")
+
+
+# ------------------------------------------------------------ mini ShapeNet
+SYNSETS = {"Airplane": "02691156", "Chair": "03001627", "Mug": "03797390"}
+SEG_BASE = {"Airplane": 0, "Chair": 12, "Mug": 36}
+
+
+def _write_cloud(path, n, seg_labels, rng):
+    xyz = rng.normal(size=(n, 3)) * 3.0 + 5.0  # deliberately un-normalized
+    normals = rng.normal(size=(n, 3))
+    seg = rng.choice(seg_labels, size=n)
+    np.savetxt(path, np.column_stack([xyz, normals, seg]), fmt="%.6f")
+    return seg
+
+
+@pytest.fixture(scope="module")
+def shapenet_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_shapenet")
+    rng = np.random.default_rng(0)
+    with open(root / "synsetoffset2category.txt", "w") as f:
+        for name, synset in SYNSETS.items():
+            f.write(f"{name}\t{synset}\n")
+    split_dir = root / "train_test_split"
+    split_dir.mkdir()
+    splits = {"train": [], "val": [], "test": []}
+    truth = {}
+    for name, synset in SYNSETS.items():
+        d = root / synset
+        d.mkdir()
+        for i, split in enumerate(["train", "train", "val", "test"]):
+            token = f"{name.lower()}_{i:04d}"
+            seg = _write_cloud(d / f"{token}.txt", 40 + 10 * i,
+                               [SEG_BASE[name], SEG_BASE[name] + 1], rng)
+            splits[split].append(f"shape_data/{synset}/{token}")
+            truth[token] = (name, set(seg.tolist()))
+    for split, items in splits.items():
+        with open(split_dir / f"shuffled_{split}_file_list.json", "w") as f:
+            json.dump(items, f)
+    return root, truth
+
+
+def test_split_membership(shapenet_root):
+    root, _ = shapenet_root
+    counts = {s: len(ShapeNetDataset(str(root), npoints=16, split=s))
+              for s in ("train", "val", "test", "trainval")}
+    assert counts == {"train": 6, "val": 3, "test": 3, "trainval": 9}
+
+
+def test_category_filter_and_class_ids(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=16, split="train", class_choice="Chair")
+    assert len(ds) == 2
+    # class ids keep the GLOBAL category numbering even under filtering
+    # (reference classes_original, shapenet.py:33-36)
+    for i in range(len(ds)):
+        _, cls, _ = ds[i]
+        assert int(cls) == list(SYNSETS).index("Chair")
+
+
+def test_seg_labels_and_normalization(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=64, split="train")
+    for i in range(len(ds)):
+        pts, cls, seg = ds[i]
+        assert pts.shape == (64, 3) and seg.shape == (64,)
+        name = list(SYNSETS)[int(cls)]
+        assert set(np.unique(seg)) <= {SEG_BASE[name], SEG_BASE[name] + 1}
+        # pc_normalize: centered, max radius 1 (cloud was offset by +5)
+        assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+
+
+def test_cache_not_renormalized(shapenet_root):
+    """The reference re-normalizes its cached cloud in place every epoch
+    (shapenet.py:104-106, a documented bug); ours must return identical
+    underlying data on repeated access."""
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=0, split="val")
+    first, _, _ = ds[0]
+    again, _, _ = ds[0]
+    np.testing.assert_array_equal(first, again)
+
+
+def test_resample_with_replacement(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=500, split="test")
+    pts, _, seg = ds[0]
+    assert pts.shape == (500, 3)  # more than source points -> replacement
+
+
+def test_normal_channel(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=16, split="train", normal_channel=True)
+    pts, _, _ = ds[0]
+    assert pts.shape == (16, 6)
+
+
+def test_dataloader_collate(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=32, split="train")
+    batch = next(iter(DataLoader(ds, 4)))
+    assert batch["points"].shape == (4, 32, 3)
+    assert batch["labels"].shape == (4, 32)
+    assert batch["category"].shape == (4,)
+
+
+# ------------------------------------------------------------- mini PartNet
+@pytest.fixture(scope="module")
+def partnet_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_partnet")
+    rng = np.random.default_rng(1)
+    names = []
+    for fi in range(2):
+        name = f"chunk{fi}.h5"
+        with h5py.File(root / name, "w") as f:
+            n_obj = 3 + fi
+            f["data"] = rng.normal(size=(n_obj, 50, 3)).astype(np.float32) + 2.0
+            f["data_num"] = np.full((n_obj,), 50, np.int32)
+            f["label_seg"] = rng.integers(0, 5, size=(n_obj, 50)).astype(np.int64)
+        names.append(name)
+    with open(root / "train_files.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+    return root
+
+
+def test_partnet_loads_all_h5(partnet_root):
+    from hpcs_tpu.data.partnet import PartNetDataset
+
+    ds = PartNetDataset(str(partnet_root / "train_files.txt"), npoints=32)
+    assert len(ds) == 7  # 3 + 4 objects across the two files
+    pts, seg = ds[0]
+    assert pts.shape == (32, 3) and seg.shape == (32,)
+    assert seg.max() < 5
+    assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+
+
+def test_partnet_dataloader_dummy_category(partnet_root):
+    from hpcs_tpu.data.partnet import PartNetDataset
+
+    ds = PartNetDataset(str(partnet_root / "train_files.txt"), npoints=16)
+    batch = next(iter(DataLoader(ds, 2)))
+    assert batch["category"].tolist() == [0, 0]  # dummy single category
+    assert batch["points"].shape == (2, 16, 3)
