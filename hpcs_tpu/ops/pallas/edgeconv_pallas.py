@@ -50,9 +50,14 @@ def _gated3(e, W, Wd, a, b, slope):
     """One VNLinearLeakyReLU with folded BN on component-separated features.
 
     e: 3-tuple of [rows, C_in]; returns a 3-tuple of [rows, C_out].
+    HIGHEST matmul precision: single-pass bf16 would break the SO(3)
+    invariance discipline (see nn.vn.layers._channel_mix).
     """
-    p = [jnp.dot(ev, W, preferred_element_type=jnp.float32) for ev in e]
-    d = [jnp.dot(ev, Wd, preferred_element_type=jnp.float32) for ev in e]
+    hi = jax.lax.Precision.HIGHEST
+    p = [jnp.dot(ev, W, preferred_element_type=jnp.float32, precision=hi)
+         for ev in e]
+    d = [jnp.dot(ev, Wd, preferred_element_type=jnp.float32, precision=hi)
+         for ev in e]
     norm = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2] + EPS * EPS) + EPS
     aff = (a * norm + b) / norm
     p = [pv * aff for pv in p]
@@ -81,7 +86,10 @@ def _edgeconv_kernel(e_ref, w1_ref, wd1_ref, ab1_ref, w2_ref, wd2_ref, ab2_ref,
 
 
 def _pick_row_tile(n, k, c):
-    budget = 4 * 1024 * 1024  # VMEM bytes for the 3-component edge block
+    # scoped VMEM ~20x the edge block (double buffering + conv/gate
+    # intermediates + the pooling matrix); keep the block small enough that
+    # the whole scope fits the 32M limit requested below
+    budget = 1024 * 1024
     for tn in (128, 64, 32, 16, 8):
         if n % tn == 0 and 3 * tn * k * c * 4 <= budget:
             return tn
@@ -122,11 +130,14 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
         return _edgeconv_xla(x, idx, W1, Wd1, ab1, W2, Wd2, ab2, slope, n_convs)
 
     x = x.astype(jnp.float32)
-    nbr = gather_neighbors(x, idx)  # [B, N, K, C, 3]
-    center = jnp.broadcast_to(x[:, :, None], nbr.shape)
-    # single fused XLA producer, component-major: [B, 3, N*K, 2C]
-    e = jnp.concatenate([nbr - center, center], axis=-2)
-    e = e.transpose(0, 4, 1, 2, 3).reshape(B, 3, N * K, 2 * C)
+    # component-major gather: transpose the SMALL per-point tensor first so
+    # the big edge tensor is born in kernel order — no [B,N,K,C,3] ->
+    # [B,3,N*K,2C] relayout of ~165 MB
+    x_cm = x.transpose(0, 3, 1, 2)  # [B, 3, N, C]
+    nbr = jax.vmap(lambda xc, ib: xc[:, ib])(x_cm, idx)  # [B, 3, N, K, C]
+    center = jnp.broadcast_to(x_cm[:, :, :, None], nbr.shape)
+    e = jnp.concatenate([nbr - center, center], axis=-1)  # [B, 3, N, K, 2C]
+    e = e.reshape(B, 3, N * K, 2 * C)
 
     kernel = functools.partial(_edgeconv_kernel, k=K, slope=slope, n_convs=n_convs)
     grid = (B, N // tn)
@@ -146,6 +157,8 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
         out_specs=pl.BlockSpec((1, 3, tn, C_out), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 3, N, C_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(e, W1, Wd1, ab1, W2, Wd2, ab2)
     return out.transpose(0, 2, 3, 1)  # -> [B, N, C_out, 3]

@@ -1,4 +1,5 @@
 from .data_parallel import (
+    make_data_parallel_test_step,
     make_data_parallel_train_step,
     make_mesh,
     replicate,
@@ -6,6 +7,7 @@ from .data_parallel import (
 )
 
 __all__ = [
+    "make_data_parallel_test_step",
     "make_data_parallel_train_step",
     "make_mesh",
     "replicate",

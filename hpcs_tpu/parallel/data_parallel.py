@@ -72,6 +72,34 @@ def make_data_parallel_train_step(system, n_devices=None, mesh=None):
     return step
 
 
+def make_data_parallel_test_step(system, n_devices=None, mesh=None):
+    """test_step (losses + per-object linkage decode + best-k scores) sharded
+    over the batch axis: each device decodes its own objects — the reference's
+    per-object scipy loop (base_hyp_hc.py:81-86, 192-245) becomes
+    embarrassingly parallel.  Scalar logs are pmean'd (equal shard sizes);
+    per-object extras come back concatenated on the batch axis."""
+    mesh = mesh or make_mesh(n_devices)
+    batch_spec = {"points": P("data"), "labels": P("data"), "category": P("data")}
+
+    def per_device(state, batch, key, temperature):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        logs, extras = system.test_step(state, batch, key, temperature)
+        logs = jax.lax.pmean(logs, "data")
+        return logs, extras
+
+    sharded = _shard_map(
+        per_device, mesh,
+        in_specs=(P(), batch_spec, P(), P()),
+        out_specs=(P(), P("data")),
+    )
+
+    @jax.jit
+    def step(state, batch, key, temperature):
+        return sharded(state, batch, key, temperature)
+
+    return step
+
+
 def shard_batch(mesh, batch):
     """Place a host batch with leading-axis sharding on the mesh."""
     spec = NamedSharding(mesh, P("data"))

@@ -1,0 +1,122 @@
+"""Multi-host (DCN) data parallelism.
+
+The reference has no distribution story at all (SURVEY §2.9: Lightning
+`accelerator` flag, single GPU in every shipped config).  Here the TPU-native
+design extends the single-slice ICI mesh of data_parallel.py across hosts:
+
+- `initialize_distributed`: jax.distributed bring-up (coordinator + rank),
+  after which `jax.devices()` is the GLOBAL device list.
+- `make_hybrid_mesh`: a ("dcn", "data") mesh laid out so the inner axis maps
+  to same-slice devices (gradient all-reduce rides ICI; only the outer-axis
+  reduction crosses DCN).  Both axes shard the batch; parameters stay
+  replicated.
+- `make_multihost_train_step`: same pmean formulation as the single-host
+  step, over both axes.
+- `global_batch_from_host_shards`: each host feeds ONLY its own objects
+  (per-host input pipeline); jax.make_array_from_process_local_data stitches
+  the global sharded batch without any host gathering.
+
+Validated without real multi-host hardware by tools/multihost_dryrun.py: two
+OS processes, each with 4 virtual CPU devices, one optimizer step over the
+8-device global mesh (evidence in MULTIHOST_DCN_r*.json).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from .data_parallel import _shard_map
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, local_device_ids=None):
+    """Bring up jax.distributed (no-op if already initialized or single
+    process). On TPU pods the arguments are auto-detected from the
+    environment; on CPU/GPU they must be passed."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    if local_device_ids is not None:
+        kwargs.update(local_device_ids=local_device_ids)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized (e.g. auto TPU-pod init)
+        if "already" not in str(e):
+            raise
+
+
+def make_hybrid_mesh(dcn_axis="dcn", data_axis="data"):
+    """2-D (hosts x local-devices) mesh: inner axis = devices of one process
+    (ICI on TPU slices), outer axis = across processes (DCN)."""
+    n_proc = jax.process_count()
+    n_local = jax.local_device_count()
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    arr = np.array(devices).reshape(n_proc, n_local)
+    return Mesh(arr, (dcn_axis, data_axis))
+
+
+def make_multihost_train_step(system, mesh):
+    """Data-parallel train step over a ("dcn", "data") mesh: batch sharded
+    over both axes, grads/stats pmean'd over both (XLA lowers the inner
+    reduction to ICI collectives and only the outer to DCN)."""
+    axes = mesh.axis_names
+    batch_spec = {k: P(axes) for k in ("points", "labels", "category")}
+
+    def per_device(state, batch, key, temperature):
+        shard_id = jax.lax.axis_index(axes[0]) * jax.lax.axis_size(axes[1]) \
+            + jax.lax.axis_index(axes[1])
+        key = jax.random.fold_in(key, shard_id)
+        grads, logs, new_bs = system.grads_and_logs(state, batch, key, temperature)
+        grads = jax.lax.pmean(grads, axes)
+        logs = jax.lax.pmean(logs, axes)
+        new_bs = jax.lax.pmean(new_bs, axes)
+        return system.apply_gradients(state, grads, new_bs), logs
+
+    sharded = _shard_map(
+        per_device, mesh,
+        in_specs=(P(), batch_spec, P(), P()),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(state, batch, key, temperature):
+        return sharded(state, batch, key, temperature)
+
+    return step
+
+
+def process_slice(n_items):
+    """This process's contiguous slice of a global dataset of n_items
+    (per-host input pipeline: each host reads only its own objects)."""
+    per = n_items // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
+def global_batch_from_host_shards(mesh, host_batch):
+    """Assemble the global sharded batch from per-host local arrays.
+
+    host_batch arrays have leading dim = global_batch / process_count; the
+    result is a global jax.Array sharded over both mesh axes with NO
+    cross-host data movement (each host contributes its local shard)."""
+    axes = mesh.axis_names
+    out = {}
+    for k, v in host_batch.items():
+        sharding = NamedSharding(mesh, P(axes))
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v),
+                                                        global_shape)
+    return out
+
+
+def replicate_global(mesh, tree):
+    """Replicate host-identical values over the global mesh."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        return jax.make_array_from_callback(np.shape(x), sharding,
+                                            lambda idx: np.asarray(x)[idx])
+
+    return jax.tree_util.tree_map(put, tree)

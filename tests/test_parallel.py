@@ -113,3 +113,28 @@ def test_mesh_sizes():
     for n in (2, 4, 8):
         mesh = make_mesh(n)
         assert mesh.devices.size == n
+
+
+def test_dp_test_step_matches_single_device():
+    """Sharded decode must reproduce the single-device decode exactly when
+    test rotation is off (per-object work is independent)."""
+    system = HypHCSystem(ModelConfig(
+        dataset="shapenet", num_class=6, num_categories=2, fixed_points=64,
+        eucl_dim=4, hyp_dim=4, k=8, t_per_anchor=5, num_triplets=512,
+        temperature=0.1, lr=0.01, test_rotation="none",
+    ))
+    mesh = make_mesh(8)
+    batch = _batch(8)
+    state = system.init(KEY, batch)
+    from hpcs_tpu.parallel import make_data_parallel_test_step
+
+    logs_s, extras_s = system.test_step(state, batch, KEY, jnp.float32(0.1))
+    step = make_data_parallel_test_step(system, mesh=mesh)
+    logs_dp, extras_dp = step(state, shard_batch(mesh, batch), KEY, jnp.float32(0.1))
+    np.testing.assert_allclose(np.asarray(extras_dp["best_score"]),
+                               np.asarray(extras_s["best_score"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(extras_dp["best_k"]),
+                                  np.asarray(extras_s["best_k"]))
+    np.testing.assert_array_equal(np.asarray(extras_dp["pred"]),
+                                  np.asarray(extras_s["pred"]))
+    assert abs(float(logs_dp["score"]) - float(logs_s["score"])) < 1e-5
