@@ -80,8 +80,25 @@ def measure_tpu(batch_sizes=(16, 32, 64)):
         )
         return jnp.sum(out)
 
+    @jax.jit
+    def fused_loop(params, batch_stats, points, dv):
+        """Same device loop through the fused inference engine
+        (hpcs_tpu.models.inference: Pallas EdgeConv + folded BN)."""
+        from hpcs_tpu.models.inference import vn_dgcnn_fast_forward
+
+        def body(i, carry):
+            pts = points + (i.astype(jnp.float32) * 1e-12) * carry[..., :1]
+            _, x_poincare = vn_dgcnn_fast_forward(params, batch_stats, pts, dv, K)
+            return carry + x_poincare.mean(axis=(1, 2), keepdims=True)
+
+        out = jax.lax.fori_loop(
+            0, LOOP, body, jnp.zeros((points.shape[0], 1, 1), jnp.float32)
+        )
+        return jnp.sum(out)
+
     best = 0.0
     best_batch = 0
+    best_path = "flax"
     for B in batch_sizes:
         dv = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), 16)
         batch = {"points": jax.random.normal(key, (B, NPOINTS, 3)),
@@ -89,18 +106,25 @@ def measure_tpu(batch_sizes=(16, 32, 64)):
                  "category": jnp.zeros((B,), jnp.int32)}
         state = system.init(key, batch)
         points = batch["points"]
-        # warmup + compile; float() is a completion barrier even where
-        # block_until_ready does not synchronize (axon tunnel)
-        float(forward_loop(state.params, state.batch_stats, points, dv))
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            float(forward_loop(state.params, state.batch_stats, points, dv))
-        dt = time.perf_counter() - t0
-        cps = B * LOOP * reps / dt
-        log(f"batch {B}: {cps:.1f} clouds/sec ({dt / (LOOP * reps) * 1e3:.2f} ms/forward)")
-        if cps > best:
-            best, best_batch = cps, B
+        for path, loop_fn in (("flax", forward_loop), ("fused", fused_loop)):
+            try:
+                # warmup + compile; float() is a completion barrier even where
+                # block_until_ready does not synchronize (axon tunnel)
+                float(loop_fn(state.params, state.batch_stats, points, dv))
+                reps = 3
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    float(loop_fn(state.params, state.batch_stats, points, dv))
+                dt = time.perf_counter() - t0
+            except Exception as e:  # pragma: no cover — fused path is optional
+                log(f"batch {B} [{path}]: failed ({type(e).__name__}: {e})")
+                continue
+            cps = B * LOOP * reps / dt
+            log(f"batch {B} [{path}]: {cps:.1f} clouds/sec "
+                f"({dt / (LOOP * reps) * 1e3:.2f} ms/forward)")
+            if cps > best:
+                best, best_batch, best_path = cps, B, path
+    log(f"best: {best:.1f} clouds/sec (batch {best_batch}, {best_path} path)")
     return best, best_batch
 
 

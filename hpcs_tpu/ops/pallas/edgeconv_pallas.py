@@ -3,20 +3,22 @@
 One VN-DGCNN EdgeConv stage is: gather k neighbors -> edge features
 [neighbor - center || center] -> VNLinearLeakyReLU x2 (channel-mix matmul,
 BatchNorm on vector norms, direction-gated leaky ReLU) -> mean pool over k.
-The XLA path materializes every intermediate of the edge tensor in HBM
-(gather, concat, both conv outputs, both direction tensors, gate results —
-several ~0.7 GB round trips at B=64/N=1024/K=20).  Here XLA produces the
-edge tensor once (gather+sub+concat+transpose fuse into a single write) and
-a Pallas kernel runs conv -> norm-BN -> gated ReLU -> conv -> pool entirely
-in VMEM, writing only the pooled result: one read + one small write instead
-of ~5 round trips.
 
-Kernel design (v2 — the round-1 version hung the Mosaic compiler >20 min):
-component-major blocks [3, rows, C].  The three vector components are
-statically indexed into three independent 2-D [rows, C] arrays, so every
-in-kernel op is a plain 2-D matmul or elementwise op — no reshapes, no
-sublane splits, nothing for Mosaic to relayout.  The mean-pool over k runs
-as one MXU matmul against an iota-built block-diagonal averaging matrix.
+The XLA path materializes the [B, N, K, 2C, 3] edge tensor in HBM and — the
+dominant cost — runs the neighbor gather through XLA's scalar-ish dynamic
+gather (~7 ms alone at B=16/N=1024/K=20/C=21, measured).  This kernel never
+builds the edge tensor at all: the whole (component-major) cloud sits in
+VMEM and each neighbor set is selected by a ONE-HOT MATMUL on the MXU
+(selection by a 0/1 matrix is exact in fp32 at HIGHEST precision), then
+conv -> folded-BN -> gated ReLU -> conv -> mean-pool run in registers and
+only the pooled [B, N, C_out, 3] result is written.
+
+Kernel design notes (the round-1 version hung the Mosaic compiler; the fix
+is structural): everything is a plain 2-D matmul or elementwise op — the
+three vector components are statically indexed into separate [rows, C]
+arrays, the k-loop is a fori_loop carrying three [tn, C_out] accumulators,
+and there are NO in-kernel reshapes or transposes (the one-hot is built
+transposed so the selection contracts over its leading axis).
 
 Inference-only: BatchNorm uses running statistics (per-channel affine on
 vector norms), so no cross-tile reduction is needed.  Training stays on XLA.
@@ -46,21 +48,15 @@ def _affine_from_bn(scale, bias, mean, var, epsilon=1e-5):
     return a, bias - mean * a
 
 
-def _gated3(e, W, Wd, a, b, slope):
-    """One VNLinearLeakyReLU with folded BN on component-separated features.
+def _gate(p, d, a, b, slope):
+    """Folded-BN + direction-gated leaky ReLU on component triples.
 
-    e: 3-tuple of [rows, C_in]; returns a 3-tuple of [rows, C_out].
-    HIGHEST matmul precision: single-pass bf16 would break the SO(3)
-    invariance discipline (see nn.vn.layers._channel_mix).
+    p, d: 3-tuples of [rows, C]; a, b: [1, C] affines. Matches
+    nn.vn.layers._vn_leaky_relu + VNBatchNorm exactly (eval mode).
     """
-    hi = jax.lax.Precision.HIGHEST
-    p = [jnp.dot(ev, W, preferred_element_type=jnp.float32, precision=hi)
-         for ev in e]
-    d = [jnp.dot(ev, Wd, preferred_element_type=jnp.float32, precision=hi)
-         for ev in e]
     norm = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2] + EPS * EPS) + EPS
     aff = (a * norm + b) / norm
-    p = [pv * aff for pv in p]
+    p = tuple(pv * aff for pv in p)
     dot = p[0] * d[0] + p[1] * d[1] + p[2] * d[2]
     dsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     coeff = (dot / (dsq + EPS)) * (dot < 0).astype(jnp.float32)
@@ -68,30 +64,67 @@ def _gated3(e, W, Wd, a, b, slope):
                  for pv, dv in zip(p, d))
 
 
-def _edgeconv_kernel(e_ref, w1_ref, wd1_ref, ab1_ref, w2_ref, wd2_ref, ab2_ref,
-                     out_ref, *, k, slope, n_convs):
-    rows = e_ref.shape[2]  # tn * k
-    tn = rows // k
-    e = (e_ref[0, 0], e_ref[0, 1], e_ref[0, 2])
-    h = _gated3(e, w1_ref[:], wd1_ref[:], ab1_ref[0], ab1_ref[1], slope)
-    if n_convs == 2:
-        h = _gated3(h, w2_ref[:], wd2_ref[:], ab2_ref[0], ab2_ref[1], slope)
-    # mean over k as an MXU matmul: P[i, j] = (j // k == i) / k
-    src = jax.lax.broadcasted_iota(jnp.int32, (tn, rows), 1) // k
-    tgt = jax.lax.broadcasted_iota(jnp.int32, (tn, rows), 0)
-    P = (src == tgt).astype(jnp.float32) * (1.0 / k)
-    out_ref[0, 0] = jnp.dot(P, h[0], preferred_element_type=jnp.float32)
-    out_ref[0, 1] = jnp.dot(P, h[1], preferred_element_type=jnp.float32)
-    out_ref[0, 2] = jnp.dot(P, h[2], preferred_element_type=jnp.float32)
+def _edgeconv_gather_kernel(x_ref, idxT_ref, w1a_ref, w1b_ref, wd1a_ref,
+                            wd1b_ref, ab1_ref, w2_ref, wd2_ref, ab2_ref,
+                            out_ref, *, k, tn, n_points, slope, n_convs):
+    hi = jax.lax.Precision.HIGHEST
+    i = pl.program_id(1)
+    base = pl.multiple_of(i * tn, tn)
+    x = (x_ref[0, 0], x_ref[0, 1], x_ref[0, 2])  # [N, C] per component
+    # centers: dynamic-slice the REF (Mosaic lowers pl.ds on refs, not on values)
+    c = tuple(x_ref[0, v, pl.ds(base, tn), :] for v in range(3))  # [tn, C]
+    # center half of conv1 is k-independent: precompute
+    w1b, wd1b = w1b_ref[:], wd1b_ref[:]
+    p_c = tuple(jnp.dot(cv, w1b, preferred_element_type=jnp.float32,
+                        precision=hi) for cv in c)
+    d_c = tuple(jnp.dot(cv, wd1b, preferred_element_type=jnp.float32,
+                        precision=hi) for cv in c)
+    w1a, wd1a = w1a_ref[:], wd1a_ref[:]
+    a1, b1 = ab1_ref[0:1, :], ab1_ref[1:2, :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_points, tn), 0)
+
+    c2 = out_ref.shape[-1]
+    acc0 = jnp.zeros((tn, c2), jnp.float32)
+
+    def body(kk, acc):
+        idx_k = idxT_ref[0, pl.ds(kk, 1), :]  # [1, tn]
+        # transposed one-hot: Gt[m, r] = (m == idx[r]); selection contracts
+        # over the cloud axis -> nbr[r] = x[idx[r]] EXACTLY (0/1 matrix at
+        # HIGHEST precision)
+        Gt = (row_ids == idx_k).astype(jnp.float32)  # [N, tn]
+
+        def sel(xv):
+            return jax.lax.dot_general(
+                Gt, xv, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+
+        nbr = tuple(sel(xv) for xv in x)  # [tn, C]
+        diff = tuple(nv - cv for nv, cv in zip(nbr, c))
+        # conv1 on [diff || center] without a lane concat: split weights
+        p = tuple(jnp.dot(dv, w1a, preferred_element_type=jnp.float32,
+                          precision=hi) + pc for dv, pc in zip(diff, p_c))
+        d = tuple(jnp.dot(dv, wd1a, preferred_element_type=jnp.float32,
+                          precision=hi) + dc for dv, dc in zip(diff, d_c))
+        h = _gate(p, d, a1, b1, slope)
+        if n_convs == 2:
+            p2 = tuple(jnp.dot(hv, w2_ref[:], preferred_element_type=jnp.float32,
+                               precision=hi) for hv in h)
+            d2 = tuple(jnp.dot(hv, wd2_ref[:], preferred_element_type=jnp.float32,
+                               precision=hi) for hv in h)
+            h = _gate(p2, d2, ab2_ref[0:1, :], ab2_ref[1:2, :], slope)
+        return (acc[0] + h[0], acc[1] + h[1], acc[2] + h[2])
+
+    acc = jax.lax.fori_loop(0, k, body, (acc0, acc0, acc0))
+    inv_k = 1.0 / k
+    out_ref[0, 0] = acc[0] * inv_k
+    out_ref[0, 1] = acc[1] * inv_k
+    out_ref[0, 2] = acc[2] * inv_k
 
 
 def _pick_row_tile(n, k, c):
-    # scoped VMEM ~20x the edge block (double buffering + conv/gate
-    # intermediates + the pooling matrix); keep the block small enough that
-    # the whole scope fits the 32M limit requested below
-    budget = 1024 * 1024
+    # VMEM scope: x block (3*N*C), one-hot (N*tn), per-k intermediates
     for tn in (128, 64, 32, 16, 8):
-        if n % tn == 0 and 3 * tn * k * c * 4 <= budget:
+        if n % tn == 0 and n * tn * 4 + 3 * n * c * 4 <= 3 * 1024 * 1024:
             return tn
     return None
 
@@ -105,8 +138,6 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
     W*: [2C_in, C_out] / [C1, C2] channel mixers; Wd*: direction mixers;
     bn*: dicts with scale/bias/mean/var arrays.  Returns [B, N, C_out, 3].
     """
-    from ..knn import gather_neighbors
-
     B, N, C, _ = x.shape
     K = idx.shape[-1]
     a1, b1 = _affine_from_bn(bn1["scale"], bn1["bias"], bn1["mean"], bn1["var"])
@@ -129,38 +160,35 @@ def fused_edgeconv_infer(x, idx, W1, Wd1, bn1, W2=None, Wd2=None, bn2=None,
     if not HAVE_PALLAS or tn is None or not (on_tpu or interpret):
         return _edgeconv_xla(x, idx, W1, Wd1, ab1, W2, Wd2, ab2, slope, n_convs)
 
-    x = x.astype(jnp.float32)
-    # component-major gather: transpose the SMALL per-point tensor first so
-    # the big edge tensor is born in kernel order — no [B,N,K,C,3] ->
-    # [B,3,N*K,2C] relayout of ~165 MB
-    x_cm = x.transpose(0, 3, 1, 2)  # [B, 3, N, C]
-    nbr = jax.vmap(lambda xc, ib: xc[:, ib])(x_cm, idx)  # [B, 3, N, K, C]
-    center = jnp.broadcast_to(x_cm[:, :, :, None], nbr.shape)
-    e = jnp.concatenate([nbr - center, center], axis=-1)  # [B, 3, N, K, 2C]
-    e = e.reshape(B, 3, N * K, 2 * C)
+    x_cm = x.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B, 3, N, C] (small)
+    idxT = idx.astype(jnp.int32).transpose(0, 2, 1)  # [B, K, N] (small)
+    # edge features are [neighbor - center || center]: split each [2C, C_out]
+    # mixer into its difference/center halves so the kernel never concats
+    W1a, W1b = W1[:C], W1[C:]
+    Wd1a, Wd1b = Wd1[:C], Wd1[C:]
 
-    kernel = functools.partial(_edgeconv_kernel, k=K, slope=slope, n_convs=n_convs)
+    kernel = functools.partial(_edgeconv_gather_kernel, k=K, tn=tn,
+                               n_points=N, slope=slope, n_convs=n_convs)
     grid = (B, N // tn)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, tn * K, 2 * C), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 3, N, C), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, tn), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            vmem_full, vmem_full, vmem_full, vmem_full, vmem_full,
+            vmem_full, vmem_full, vmem_full,
         ],
         out_specs=pl.BlockSpec((1, 3, tn, C_out), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 3, N, C_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
-    )(e, W1, Wd1, ab1, W2, Wd2, ab2)
+    )(x_cm, idxT, W1a, W1b, Wd1a, Wd1b, ab1, W2, Wd2, ab2)
     return out.transpose(0, 2, 3, 1)  # -> [B, N, C_out, 3]
 
 

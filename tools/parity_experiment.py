@@ -270,22 +270,28 @@ def run_jax():
         system, ArrayLoader("train", shuffle=True, seed=c["seed"]),
         ArrayLoader("val"), epochs=c["epochs"], patience=10 ** 6,
         seed=c["seed"], log_dir=os.path.join(BENCH, "_parity_logs"),
-        run_name="parity_jax",
+        run_name=f"parity_jax_s{c['seed']}",
     )
     train_wall = time.time() - t0
 
     # per-epoch curves are in the metric logger CSV; re-read them
-    curve_file = os.path.join(BENCH, "_parity_logs", "parity_jax", "metrics.csv")
+    curve_file = os.path.join(BENCH, "_parity_logs", f"parity_jax_s{c['seed']}",
+                              "metrics.csv")
     train_curve, val_curve = [], []
     if os.path.exists(curve_file):
         import csv
 
+        def _maybe(row, key, dest):
+            v = row.get(key)
+            try:
+                dest.append(float(v))
+            except (TypeError, ValueError):
+                pass
+
         with open(curve_file) as f:
             for row in csv.DictReader(f):
-                if row.get("total_loss") not in (None, ""):
-                    train_curve.append(float(row["total_loss"]))
-                if row.get("val_loss") not in (None, ""):
-                    val_curve.append(float(row["val_loss"]))
+                _maybe(row, "total_loss", train_curve)
+                _maybe(row, "val_loss", val_curve)
 
     # ---- test: reuse the jitted test_step, then score per object
     from scipy.cluster.hierarchy import fcluster
