@@ -17,6 +17,7 @@ from typing import Any, Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.edgeconv import graph_feature_vn
 from ..vn.layers import (
     VNLinearLeakyReLU,
     VNMaxPool,
@@ -74,28 +75,21 @@ class VNDGCNNPartSeg(nn.Module):
         def _vnllr(ch, name, share=False):
             return VNLinearLeakyReLU(ch, share_nonlinearity=share, layout=lo, name=name)
 
-        def _knn(feat):
-            from ...ops.knn import knn_auto
-
-            B_, N_ = feat.shape[:2]
-            return knn_auto(feat.reshape(B_, N_, -1), self.k)
-
-        # Each stage feeds the pointwise tensor + neighbor indices straight
-        # into the first conv (hoisted-EdgeConv mode, see VNLinearLeakyReLU):
-        # the [.., K, 2C, .] edge tensor is never materialized.
-
         # --- EdgeConv stage 1 (lift from coordinates) ---
-        e = _vnllr(64 // 3, "conv1")(x, train=train, idx=_knn(x))
+        e, _ = graph_feature_vn(x, self.k, layout=lo)  # [B, N, K, {2,3}, {3,2}]
+        e = _vnllr(64 // 3, "conv1")(e, train=train)
         e = _vnllr(64 // 3, "conv2")(e, train=train)
         x1 = self._pool("pool1")(e)  # 21 vector channels
 
         # --- EdgeConv stage 2 ---
-        e = _vnllr(64 // 3, "conv3")(x1, train=train, idx=_knn(x1))
+        e, _ = graph_feature_vn(x1, self.k, layout=lo)
+        e = _vnllr(64 // 3, "conv3")(e, train=train)
         e = _vnllr(64 // 3, "conv4")(e, train=train)
         x2 = self._pool("pool2")(e)
 
         # --- EdgeConv stage 3 ---
-        e = _vnllr(64 // 3, "conv5")(x2, train=train, idx=_knn(x2))
+        e, _ = graph_feature_vn(x2, self.k, layout=lo)
+        e = _vnllr(64 // 3, "conv5")(e, train=train)
         x3 = self._pool("pool3")(e)
 
         x123 = jnp.concatenate([x1, x2, x3], axis=caxis)  # 63 vector channels

@@ -146,19 +146,7 @@ class VNBatchNorm(nn.Module):
 
 
 class VNLinearLeakyReLU(nn.Module):
-    """Fused linear -> norm-BatchNorm -> direction-gated leaky ReLU.
-
-    Two input modes:
-
-    - plain: x is the feature tensor the linear consumes directly.
-    - hoisted EdgeConv (`idx` given): x is the POINTWISE tensor [B, N, C, 3]
-      (or [B, N, 3, C]) and the module consumes the implied edge features
-      concat(neighbor - center, center) WITHOUT materializing them before
-      the linear: since the channel mix is linear, conv(edge) =
-      gather(conv(x || 0)) + conv(-x || x)|center — the matmuls run on B*N
-      pointwise rows (k-times fewer FLOPs) and the HBM edge tensor shrinks
-      from 2C input channels to C_out conv outputs.  Exactly equal math.
-    """
+    """Fused linear -> norm-BatchNorm -> direction-gated leaky ReLU."""
 
     out_channels: int
     share_nonlinearity: bool = False
@@ -167,28 +155,16 @@ class VNLinearLeakyReLU(nn.Module):
     layout: str = "cv"
 
     @nn.compact
-    def __call__(self, x, train: bool = True, idx=None):
-        caxis = _caxis(self.layout)
-        in_channels = x.shape[caxis] * (2 if idx is not None else 1)
-        linear = VNLinear(self.out_channels, layout=self.layout, name="linear")
+    def __call__(self, x, train: bool = True):
+        in_channels = x.shape[_caxis(self.layout)]
+        p = VNLinear(self.out_channels, layout=self.layout, name="linear")(x)
+        if self.use_batchnorm:
+            p = VNBatchNorm(layout=self.layout, name="batchnorm")(p, train=train)
         dir_channels = 1 if self.share_nonlinearity else self.out_channels
         kernel = self.param(
             "dir_kernel", nn.initializers.lecun_normal(), (in_channels, dir_channels)
         )
-        if idx is None:
-            p = linear(x)
-            d = _channel_mix(x, kernel, self.layout)
-        else:
-            from ...ops.knn import gather_neighbors
-
-            zeros = jnp.zeros_like(x)
-            nbr_in = jnp.concatenate([x, zeros], axis=caxis)  # edge = (nbr, _)
-            ctr_in = jnp.concatenate([-x, x], axis=caxis)  # edge = (-c, c)
-            p = gather_neighbors(linear(nbr_in), idx) + linear(ctr_in)[:, :, None]
-            d = (gather_neighbors(_channel_mix(nbr_in, kernel, self.layout), idx)
-                 + _channel_mix(ctr_in, kernel, self.layout)[:, :, None])
-        if self.use_batchnorm:
-            p = VNBatchNorm(layout=self.layout, name="batchnorm")(p, train=train)
+        d = _channel_mix(x, kernel, self.layout)
         return _vn_leaky_relu(p, d, self.negative_slope, self.layout)
 
 
