@@ -156,3 +156,41 @@ def test_partnet_dataloader_dummy_category(partnet_root):
     batch = next(iter(DataLoader(ds, 2)))
     assert batch["category"].tolist() == [0, 0]  # dummy single category
     assert batch["points"].shape == (2, 16, 3)
+
+
+# -------------------------------------------------------- prefetching loader
+def test_prefetch_loader_matches_sync():
+    from hpcs_tpu.data import SyntheticPartDataset
+
+    ds = SyntheticPartDataset(num_objects=10, npoints=32, num_categories=2,
+                              parts_per_object=3)  # deterministic per index
+    sync = list(DataLoader(ds, 2))
+    pre = list(DataLoader(ds, 2, num_workers=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_array_equal(a["category"], b["category"])
+        np.testing.assert_allclose(a["points"], b["points"])
+
+
+def test_prefetch_loader_early_break_does_not_hang(shapenet_root):
+    root, _ = shapenet_root
+    ds = ShapeNetDataset(str(root), npoints=16, split="train")
+    it = iter(DataLoader(ds, 1, num_workers=2, prefetch=2))
+    next(it)
+    it.close()  # generator close must not deadlock the producer
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("boom")
+            pts = np.zeros((8, 3), np.float32)
+            return pts, np.int64(0), np.zeros(8, np.int64)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Boom(), 2, num_workers=2))
