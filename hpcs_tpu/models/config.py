@@ -42,9 +42,12 @@ class ModelConfig:
     # optimization
     lr: float = 0.005
     bf16: bool = False  # bf16 compute in the backbone (norm math stays fp32)
-    # VN feature layout: "cv" [.., C, 3] or lane-major "vc" [.., 3, C]
-    # (params are layout-independent; "vc" is the fast path on TPU)
-    layout: str = "vc"
+    # VN feature layout: "cv" [.., C, 3] or lane-major "vc" [.., 3, C].
+    # Params are layout-independent.  Measured on v5e: inference is
+    # layout-neutral (523 vs 520 clouds/s) but the vc TRAINING step is ~2.7x
+    # slower with the fused optimizer (335.7 vs 124.6 ms/step, B=8/N=1024) —
+    # an XLA backward-fusion pathology.  Default: cv.
+    layout: str = "cv"
     # hierarchy (PartNet): nested per-level branch lists of leaf ids
     hierarchy_list: Tuple = ()
 
