@@ -81,15 +81,21 @@ def bench_train_step(B=8, N=1024, iters=3):
     batch = next(iter(DataLoader(ds, B)))
     key = jax.random.PRNGKey(0)
     state = system.init(key, batch)
-    state, logs = system.train_step(state, batch, key, jnp.float32(0.05))
-    float(logs["total_loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
+    # two warm steps: the first post-compile dispatches on the axon tunnel
+    # are erratically slow (100s-of-ms spikes); report the median
+    for w in range(2):
+        state, logs = system.train_step(state, batch, jax.random.fold_in(key, 100 + w),
+                                        jnp.float32(0.05))
+        float(logs["total_loss"])
+    ts = []
+    for i in range(max(iters, 8)):
+        t0 = time.perf_counter()
         state, logs = system.train_step(state, batch, jax.random.fold_in(key, i),
                                         jnp.float32(0.05))
         float(logs["total_loss"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"train_step B={B} N={N}: {dt * 1e3:.1f} ms -> {B / dt:.1f} clouds/s",
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]
+    print(f"train_step B={B} N={N}: median {dt * 1e3:.1f} ms -> {B / dt:.1f} clouds/s",
           file=sys.stderr, flush=True)
     return B / dt
 

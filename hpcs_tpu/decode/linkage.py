@@ -245,20 +245,23 @@ def _doubling_steps(n):
 
 @partial(jax.jit, static_argnames=())
 def _roots_after_merges(Z, num_merges):
-    """Root node id of every leaf after applying the first `num_merges` rows."""
+    """Root node id of every leaf after applying the first `num_merges` rows.
+
+    The parent table is built with a compare + one-hot-select (each node is a
+    child of at most one merge row, so a masked max over rows selects its
+    parent) instead of scatters, which serialize on TPU.
+    """
     N = Z.shape[0] + 1
-    parent = jnp.arange(2 * N - 1, dtype=jnp.int32)
+    nodes = jnp.arange(2 * N - 1, dtype=jnp.int32)
     merge_idx = jnp.arange(N - 1)
     apply_row = merge_idx < num_merges
     a = Z[:, 0].astype(jnp.int32)
     b = Z[:, 1].astype(jnp.int32)
     new_ids = (N + merge_idx).astype(jnp.int32)
-    parent = parent.at[jnp.where(apply_row, a, 2 * N - 2)].set(
-        jnp.where(apply_row, new_ids, parent[2 * N - 2])
-    )
-    parent = parent.at[jnp.where(apply_row, b, 2 * N - 2)].set(
-        jnp.where(apply_row, new_ids, parent[2 * N - 2])
-    )
+    hit = ((nodes[:, None] == a[None, :]) | (nodes[:, None] == b[None, :])) \
+        & apply_row[None, :]  # [2N-1, N-1]
+    assigned = jnp.max(jnp.where(hit, new_ids[None, :], -1), axis=1)
+    parent = jnp.where(assigned >= 0, assigned, nodes)
     # pointer doubling to the root
     for _ in range(_doubling_steps(N)):
         parent = parent[parent]
@@ -276,8 +279,9 @@ def cut_maxclust(Z, k):
     N = Z.shape[0] + 1
     k = jnp.clip(k, 1, N)
     roots = _roots_after_merges(Z, N - k)
-    # relabel to consecutive ids (ascending root order) via presence-cumsum —
-    # O(2N) scatter+scan instead of a per-k sort+searchsorted
-    present = jnp.zeros((2 * N - 1,), jnp.int32).at[roots].set(1)
+    # relabel to consecutive ids (ascending root order): presence via a
+    # compare-any (scatter-free), then cumsum ranks
+    present = jnp.any(roots[None, :] == jnp.arange(2 * N - 1, dtype=jnp.int32)[:, None],
+                      axis=1).astype(jnp.int32)
     rank = jnp.cumsum(present) - 1
     return rank[roots].astype(jnp.int32)

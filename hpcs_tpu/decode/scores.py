@@ -24,10 +24,18 @@ def remap_consecutive(y, upper):
 
 
 def contingency(y_true, y_pred, c_max, k_max):
-    """Contingency table [c_max, k_max] of label co-occurrence counts."""
-    idx = y_true * k_max + y_pred
-    flat = jnp.zeros((c_max * k_max,), jnp.int32).at[idx].add(1)
-    return flat.reshape(c_max, k_max)
+    """Contingency table [c_max, k_max] of label co-occurrence counts.
+
+    One-hot matmul instead of scatter-add: 0/1 values are exact even under
+    the TPU's single-pass-bf16 fp32 matmul and accumulation is exact below
+    2^24 counts, while TPU scatters serialize.  (MXU does in one pass what
+    .at[].add does in N updates.)
+    """
+    oh_t = (y_true[:, None] == jnp.arange(c_max)[None, :]).astype(jnp.float32)
+    oh_p = (y_pred[:, None] == jnp.arange(k_max)[None, :]).astype(jnp.float32)
+    cont = jnp.einsum("nc,nk->ck", oh_t, oh_p,
+                      preferred_element_type=jnp.float32)
+    return cont.astype(jnp.int32)
 
 
 def adjusted_rand_index(y_true, y_pred, c_max, k_max):
