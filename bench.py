@@ -45,7 +45,7 @@ def get_cpu_baseline():
         return FALLBACK_CPU_CPS
 
 
-def measure_tpu(batch_sizes=(16, 32, 64)):
+def measure_tpu(batch_sizes=(8, 16, 32)):
     import jax
     import jax.numpy as jnp
 

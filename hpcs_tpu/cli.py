@@ -39,7 +39,8 @@ def add_train_args(parser):
     parser.add_argument('--batch', '-batch', default=6, type=int, help='batch size')
     parser.add_argument('--lr', '-lr', default=0.005, type=float, help='learning rate')
     parser.add_argument('--accelerator', '-accelerator', default='tpu', type=str, help='tpu | cpu (jax platform)')
-    parser.add_argument('--num_workers', '-num_workers', default=0, type=int, help='loader workers (unused; kept for parity)')
+    parser.add_argument('--num_workers', '-num_workers', default=0, type=int,
+                        help='data-loader prefetch threads (0 = synchronous)')
     parser.add_argument('--dropout', '-dropout', default=0.5, type=float, help='dropout in the feature extractor')
     parser.add_argument('--anneal_factor', '-anneal_factor', default=2, type=float, help='annealing factor')
     parser.add_argument('--anneal_step', '-anneal_step', default=0, type=int, help='use annealing each n step')
@@ -70,7 +71,11 @@ def add_train_args(parser):
     parser.add_argument('--debug_nans', action='store_true',
                         help='enable jax_debug_nans (pinpoints first NaN op)')
     parser.add_argument('--bf16', action='store_true',
-                        help='bf16 backbone compute (fp32 norm math)')
+                        help='bf16 backbone compute (fp32 norm math); measured +32%% '
+                             'inference throughput on v5e, invariance noise grows '
+                             'from tie-dominated ~4e-2 (see PLAN.md)')
+    parser.add_argument('--layout', default='cv', choices=['cv', 'vc'],
+                        help='VN feature layout (see models/config.py notes)')
     return parser
 
 
@@ -175,12 +180,16 @@ def configure(args):
         test_rotation=args.test_rotation,
         lr=args.lr,
         bf16=args.bf16,
+        layout=getattr(args, 'layout', 'cv'),
         num_triplets=args.num_triplets or None,
         hierarchy_list=_freeze(hierarchy_list),
     )
     system = HypHCSystem(cfg)
 
-    train_loader = DataLoader(train_ds, args.batch, shuffle=True, drop_last=True, seed=args.seed)
-    valid_loader = DataLoader(valid_ds, args.batch, shuffle=False, drop_last=True)
+    workers = getattr(args, 'num_workers', 0)
+    train_loader = DataLoader(train_ds, args.batch, shuffle=True, drop_last=True,
+                              seed=args.seed, num_workers=workers)
+    valid_loader = DataLoader(valid_ds, args.batch, shuffle=False, drop_last=True,
+                              num_workers=workers)
     test_loader = DataLoader(test_ds, args.batch, shuffle=False, drop_last=True)
     return system, train_loader, valid_loader, test_loader
