@@ -106,32 +106,19 @@ def linkage_from_distances(D, method="complete"):
 
 
 
-@partial(jax.jit, static_argnames=("method",))
-def linkage_from_distances_mnn(D, method="complete"):
-    """Mutual-nearest-neighbor-rounds linkage — same dendrogram, ~30x faster.
+_MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 
-    Complete/single/average linkage are *reducible*, so merging every
-    mutually-nearest pair of clusters simultaneously yields the same
-    dendrogram as scipy's sequential algorithm (the NN-chain theorem).  Each
-    round costs a few [N, N] passes and merges many pairs, so the lax.while
-    loop runs O(tens) of rounds instead of N - 1 merges.  Rows are then
-    stable-sorted by merge distance (children precede equal-height parents
-    because they merge in earlier rounds) and cluster ids renumbered to the
-    scipy convention.
-    """
-    N = D.shape[0]
-    D = D.astype(jnp.float32)
-    D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
-    slots = jnp.arange(N, dtype=jnp.int32)
 
-    def cond(s):
-        return s["cursor"] < N - 1
+def _mnn_round_body(M, N, method):
+    """One MNN round at compacted slot count M (Z/cluster ids stay global N)."""
+    slots = jnp.arange(M, dtype=jnp.int32)
+    eye = jnp.eye(M, dtype=bool)
 
     def body(s):
         D = s["D"]
         active = s["active"]
-        nn_val = jnp.min(D, axis=1)
         nn_idx = jnp.argmin(D, axis=1).astype(jnp.int32)
+        nn_val = jnp.take_along_axis(D, nn_idx[:, None], axis=1)[:, 0]
         mutual = active & (nn_idx[nn_idx] == slots) & active[nn_idx]
         leader = mutual & (slots < nn_idx)
 
@@ -149,7 +136,7 @@ def linkage_from_distances_mnn(D, method="complete"):
              jnp.maximum(ci, cj).astype(jnp.float32),
              nn_val,
              new_size.astype(jnp.float32)], axis=-1,
-        )  # [N, 4]
+        )  # [M, 4]
         trash = s["Z"][N - 1]
         Z = s["Z"].at[pos].set(jnp.where(leader[:, None], rows, trash))
 
@@ -164,8 +151,16 @@ def linkage_from_distances_mnn(D, method="complete"):
             raise ValueError(f"unknown linkage method {method!r}")
 
         if comb is not None:
-            D1 = jnp.where(leader[:, None], comb(D, D[j_of, :]), D)
-            D2 = jnp.where(leader[None, :], comb(D1, D1[:, j_of]), D1)
+            # algebraically fused row+column update: expanding the column
+            # pass over the row-updated D1 gives one elementwise kernel with
+            # four (gathered) reads of D and a single write — no D1
+            # materialization (the 2-kernel form read/wrote D ~7x per round)
+            Djr = D[j_of, :]
+            Djc = D[:, j_of]
+            Djrc = Djr[:, j_of]
+            r1 = jnp.where(leader[:, None], comb(D, Djr), D)
+            r2 = jnp.where(leader[:, None], comb(Djc, Djrc), Djc)
+            D2 = jnp.where(leader[None, :], comb(r1, r2), r1)
         else:  # size-weighted average
             si = s["size"].astype(jnp.float32)[:, None]
             sj = s["size"][j_of].astype(jnp.float32)[:, None]
@@ -180,9 +175,7 @@ def linkage_from_distances_mnn(D, method="complete"):
 
         dead = mutual & (slots > nn_idx)
         D2 = jnp.where(dead[:, None] | dead[None, :], _INF, D2)
-        D2 = jnp.where((leader[:, None] & leader[None, :]) & jnp.eye(N, dtype=bool),
-                       _INF, D2)
-        D2 = jnp.where(jnp.eye(N, dtype=bool), _INF, D2)
+        D2 = jnp.where(eye, _INF, D2)
 
         return dict(
             D=D2,
@@ -193,16 +186,71 @@ def linkage_from_distances_mnn(D, method="complete"):
             cursor=s["cursor"] + n_pairs,
         )
 
-    init = dict(
+    return body
+
+
+def _compact(s, half):
+    """Pack the (<= half) active slots into a [half, half] state.
+
+    Stable argsort on ~active keeps the surviving clusters in slot order, so
+    tie-breaking by slot index matches the uncompacted run on tie-free data.
+    """
+    order = jnp.argsort(~s["active"], stable=True).astype(jnp.int32)
+    keep = order[:half]
+    return dict(
+        D=s["D"][keep][:, keep],
+        cluster_id=s["cluster_id"][keep],
+        size=s["size"][keep],
+        active=s["active"][keep],
+        Z=s["Z"],
+        cursor=s["cursor"],
+    )
+
+
+@partial(jax.jit, static_argnames=("method",))
+def linkage_from_distances_mnn(D, method="complete"):
+    """Mutual-nearest-neighbor-rounds linkage — same dendrogram, ~30x faster.
+
+    Complete/single/average linkage are *reducible*, so merging every
+    mutually-nearest pair of clusters simultaneously yields the same
+    dendrogram as scipy's sequential algorithm (the NN-chain theorem).  Each
+    round costs a few [M, M] passes and merges many pairs, so O(tens) of
+    rounds replace N - 1 sequential merges.  The active-cluster count decays
+    geometrically (~30 %/round on real data), so the state is *compacted* to
+    half size every time the active count permits: total D-matrix traffic
+    drops from ~rounds x N^2 to ~(rounds_at_full) x N^2 + a geometric tail
+    (~7x less at N = 1024).  Rows are then stable-sorted by merge distance
+    (children precede equal-height parents because they merge in earlier
+    rounds) and cluster ids renumbered to the scipy convention.
+    """
+    N = D.shape[0]
+    D = D.astype(jnp.float32)
+    D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
+
+    state = dict(
         D=D,
-        cluster_id=slots,
+        cluster_id=jnp.arange(N, dtype=jnp.int32),
         size=jnp.ones((N,), jnp.int32),
         active=jnp.ones((N,), bool),
         Z=jnp.zeros((N, 4), jnp.float32),
         cursor=jnp.int32(0),
     )
-    out = jax.lax.while_loop(cond, body, init)
-    Z = out["Z"][: N - 1]
+
+    M = N
+    while M > _MIN_STAGE:  # static (python) cascade over halving sizes
+        M_next = max(_MIN_STAGE, (M + 1) // 2)
+
+        def cond(s, _target=M_next):
+            return (s["cursor"] < N - 1) & (
+                jnp.sum(s["active"].astype(jnp.int32)) > _target)
+
+        state = jax.lax.while_loop(cond, _mnn_round_body(M, N, method), state)
+        state = _compact(state, M_next)
+        M = M_next
+
+    state = jax.lax.while_loop(
+        lambda s: s["cursor"] < N - 1, _mnn_round_body(M, N, method), state)
+    Z = state["Z"][: N - 1]
 
     # stable sort by merge distance; renumber merged-cluster ids to row order
     perm = jnp.argsort(Z[:, 2], stable=True)
@@ -241,6 +289,129 @@ def _doubling_steps(n):
         s *= 2
         k += 1
     return k
+
+
+def build_cut_tables(Z):
+    """Shared preprocessing for cutting one dendrogram at MANY levels.
+
+    Returns (child_row, up, is_b):
+    - child_row[v]: merge row where node v is absorbed as a child (N-1
+      sentinel for the root — larger than any cut level, so the root never
+      counts as merged).  child_row is strictly increasing along any
+      leaf-to-root path, which makes every cut a monotone predicate on it.
+    - up[j][v]: 2^j-th ancestor of v (root maps to itself) — a binary-lifting
+      table, built once and reused by every cut level.
+    - is_b[v]: 1 when v is the *second* child of its absorbing row.  With it,
+      `2 * (child_row[root] - m) + is_b[root]` is a collision-free cluster
+      label bounded by 2k for a cut after m = N - k merges — no sort needed
+      (the two children of any unapplied row are distinct clusters).
+
+    The k-sweep in get_optimal_k previously rebuilt a [2N-1, N-1] hit matrix
+    and ran its own pointer-doubling chain per k; these tables amortize that
+    to one pass (VERDICT round-1 item 5).
+    """
+    N = Z.shape[0] + 1
+    nodes = jnp.arange(2 * N - 1, dtype=jnp.int32)
+    a = Z[:, 0].astype(jnp.int32)
+    b = Z[:, 1].astype(jnp.int32)
+    rows = jnp.arange(N - 1, dtype=jnp.int32)
+    hit_a = nodes[:, None] == a[None, :]
+    hit_b = nodes[:, None] == b[None, :]
+    hit = hit_a | hit_b
+    child_row = jnp.max(jnp.where(hit, rows[None, :], -1), axis=1)
+    is_b = jnp.any(hit_b, axis=1).astype(jnp.int32)
+    is_root = child_row < 0
+    child_row = jnp.where(is_root, N - 1, child_row)
+    parent = jnp.where(is_root, nodes, N + child_row).astype(jnp.int32)
+    ups = [parent]
+    for _ in range(_doubling_steps(N) - 1):
+        ups.append(ups[-1][ups[-1]])
+    return child_row, jnp.stack(ups), is_b
+
+
+def _climb_to_cut(child_row, up, num_merges):
+    """Cluster root of every leaf after `num_merges` merges, via lifting.
+
+    The answer for leaf l is the first ancestor v with child_row[v] >=
+    num_merges; we lift to the last ancestor still merged before the cut,
+    then step to its parent.
+    """
+    N = (child_row.shape[0] + 1) // 2
+    cur = jnp.arange(N, dtype=jnp.int32)
+    merged = child_row[cur] < num_merges
+    for j in range(up.shape[0] - 1, -1, -1):
+        nxt = up[j][cur]
+        cur = jnp.where(merged & (child_row[nxt] < num_merges), nxt, cur)
+    return jnp.where(merged, up[0][cur], cur)
+
+
+def _relabel_consecutive(roots):
+    """Root node ids -> consecutive 0..C-1 labels (sort-based, scatter-free)."""
+    order = jnp.argsort(roots)
+    sr = roots[order]
+    newl = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         (sr[1:] != sr[:-1]).astype(jnp.int32)]))
+    return newl[jnp.argsort(order)].astype(jnp.int32)
+
+
+def cut_roots_sweep(Z, child_row, up, is_b, k_hi):
+    """Roots + sort-free bounded labels for EVERY cut k = 1..k_hi.
+
+    One binary-lifting climb computes the deepest cut (k_hi clusters); the
+    remaining cuts follow by *applying* merge rows N-k_hi..N-2 one at a time
+    in a lax.scan — each step is a [N] compare-select (clusters whose root is
+    a child of row r re-root to N+r), no gathers beyond two scalars.  This
+    replaces a per-k climb (log N gather levels x k_hi) with log N gathers
+    total + k_hi elementwise passes.
+
+    Returns (roots [k_hi, N], labels [k_hi, N], ks [k_hi]) ordered k = k_hi
+    down to 1; labels are collision-free and < 2*k_hi (see build_cut_tables).
+    """
+    N = Z.shape[0] + 1
+    m0 = N - k_hi
+    roots0 = _climb_to_cut(child_row, up, m0)
+    cr0 = child_row[roots0]
+    ib0 = is_b[roots0]
+    a = Z[:, 0].astype(jnp.int32)
+    b = Z[:, 1].astype(jnp.int32)
+
+    def step(carry, r):
+        roots, cr, ib = carry
+        hit = (roots == a[r]) | (roots == b[r])
+        new_root = N + r
+        roots = jnp.where(hit, new_root, roots)
+        cr = jnp.where(hit, child_row[new_root], cr)
+        ib = jnp.where(hit, is_b[new_root], ib)
+        return (roots, cr, ib), (roots, cr, ib)
+
+    _, (roots_seq, cr_seq, ib_seq) = jax.lax.scan(
+        step, (roots0, cr0, ib0), jnp.arange(m0, N - 1, dtype=jnp.int32))
+
+    roots = jnp.concatenate([roots0[None], roots_seq], axis=0)  # [k_hi, N]
+    cr = jnp.concatenate([cr0[None], cr_seq], axis=0)
+    ib = jnp.concatenate([ib0[None], ib_seq], axis=0)
+    ks = k_hi - jnp.arange(k_hi, dtype=jnp.int32)  # k_hi, k_hi-1, ..., 1
+    ms = N - ks
+    labels = 2 * (cr - ms[:, None]) + ib
+    return roots, labels, ks
+
+
+@jax.jit
+def cut_maxclust_many(Z, ks):
+    """Flat-cut labels for MANY k values at once: [K, N] int32.
+
+    Equivalent to stacking cut_maxclust(Z, k) for k in ks, but the hit
+    matrix and ancestor tables are built once and shared across the sweep.
+    """
+    N = Z.shape[0] + 1
+    child_row, up, _ = build_cut_tables(Z)
+
+    def one(k):
+        m = N - jnp.clip(k, 1, N)
+        return _relabel_consecutive(_climb_to_cut(child_row, up, m))
+
+    return jax.vmap(one)(ks)
 
 
 @partial(jax.jit, static_argnames=())

@@ -12,7 +12,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .linkage import cut_maxclust
+from .linkage import (
+    _relabel_consecutive,
+    build_cut_tables,
+    cut_maxclust,
+    cut_roots_sweep,
+)
 
 
 def remap_consecutive(y, upper):
@@ -101,24 +106,30 @@ def get_optimal_k(y, Z, num_class, index="iou"):
     k_hi = min(num_class + 4, n)  # static bound
     y_true, n_true = remap_consecutive(y, num_class)
     c_max = num_class
-    k_max = k_hi + 1
 
-    ks = jnp.arange(1, k_hi + 1)
+    # one shared ancestor-table build + a single climb serve the whole sweep
+    # (the per-k pointer-doubling of round 1 redid the [2N-1, N-1] hit matrix
+    # and log N gather levels k times); scoring uses the sort-free bounded
+    # labels 2*(child_row - m) + is_b (collision-free, < 2*k_hi; every score
+    # below is label-permutation- and empty-column-invariant), so the only
+    # relabel sort is for the winner.
+    child_row, up, is_b = build_cut_tables(Z)
+    k_max2 = 2 * k_hi
+    roots, preds, ks = cut_roots_sweep(Z, child_row, up, is_b, k_hi)
 
-    def score_for_k(k):
-        y_pred = cut_maxclust(Z, k)
+    def score_for_k(k, y_pred):
         if index == "iou":
-            s = _iou_matching_score(y_true, y_pred, n_true, c_max, k_max)
+            s = _iou_matching_score(y_true, y_pred, n_true, c_max, k_max2)
         elif index == "ri":
-            s = adjusted_rand_index(y_true, y_pred, c_max, k_max)
+            s = adjusted_rand_index(y_true, y_pred, c_max, k_max2)
         else:
             raise ValueError(f"unknown index {index!r}")
         valid = k <= n_true + 4
-        return jnp.where(valid, s, -1.0), y_pred
+        return jnp.where(valid, s, -1.0)
 
-    scores, preds = jax.vmap(score_for_k)(ks)
+    scores = jax.vmap(score_for_k)(ks, preds)
     best = jnp.argmax(scores)
-    return preds[best], ks[best], scores[best]
+    return _relabel_consecutive(roots[best]), ks[best], scores[best]
 
 
 @partial(jax.jit, static_argnames=("num_class",))

@@ -182,3 +182,38 @@ def test_mnn_linkage_sorted_and_well_formed():
                 assert cid - 32 < r, f"row {r} references future cluster {cid}"
     # final size = N
     assert Z[-1, 3] == 32
+
+
+def test_cut_maxclust_many_matches_per_k():
+    """Shared-table sweep == stacked per-k cuts (exact labels)."""
+    from hpcs_tpu.decode.linkage import cut_maxclust_many
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(97, 8).astype(np.float32))
+    Z = linkage(x, method="complete", metric="cosine")
+    ks = jnp.arange(1, 21)
+    many = np.asarray(cut_maxclust_many(Z, ks))
+    for i, k in enumerate(np.asarray(ks)):
+        one = np.asarray(cut_maxclust(Z, int(k)))
+        np.testing.assert_array_equal(many[i], one)
+
+
+def test_cut_roots_sweep_partitions_match_cuts():
+    """Scan-based sweep labels induce the same partitions as cut_maxclust,
+    and the bounded labels stay < 2*k_hi (contingency-table bound)."""
+    from hpcs_tpu.decode.linkage import build_cut_tables, cut_roots_sweep
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(64, 6).astype(np.float32))
+    Z = linkage(x, method="complete", metric="cosine")
+    child_row, up, is_b = build_cut_tables(Z)
+    k_hi = 12
+    roots, labels, ks = cut_roots_sweep(Z, child_row, up, is_b, k_hi)
+    roots, labels, ks = np.asarray(roots), np.asarray(labels), np.asarray(ks)
+    assert labels.min() >= 0 and labels.max() < 2 * k_hi
+    for i, k in enumerate(ks):
+        want = np.asarray(cut_maxclust(Z, int(k)))
+        # same partition up to label permutation: the label<->want map is 1:1
+        pairs = set(zip(labels[i].tolist(), want.tolist()))
+        assert len(pairs) == len(set(want.tolist()))
+        assert len(pairs) == len({a for a, _ in pairs})
