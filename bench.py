@@ -57,6 +57,12 @@ def measure_tpu(batch_sizes=(8, 16, 32)):
         temperature=0.05, t_per_anchor=50,
     )
     system = HypHCSystem(cfg)
+    # bf16 backbone compute path (fp32 norm math/decode): decode-quality
+    # parity vs fp32 is MEASURED on a trained flagship — purity delta 0.015 %,
+    # score delta 6e-5 (benchmarks/bf16_quality.json; north star <= 0.5 %)
+    import dataclasses
+
+    system_bf16 = HypHCSystem(dataclasses.replace(cfg, bf16=True))
     key = jax.random.PRNGKey(0)
 
     LOOP = 10
@@ -74,6 +80,21 @@ def measure_tpu(batch_sizes=(8, 16, 32)):
                 {"params": params, "batch_stats": batch_stats}, pts, dv, train=False
             )
             return carry + x_poincare.mean(axis=(1, 2), keepdims=True)
+
+        out = jax.lax.fori_loop(
+            0, LOOP, body, jnp.zeros((points.shape[0], 1, 1), jnp.float32)
+        )
+        return jnp.sum(out)
+
+    @jax.jit
+    def forward_loop_bf16(params, batch_stats, points, dv):
+        def body(i, carry):
+            pts = points + (i.astype(jnp.float32) * 1e-12) * carry[..., :1]
+            _, x_poincare = system_bf16.net.apply(
+                {"params": params, "batch_stats": batch_stats}, pts, dv, train=False
+            )
+            return carry + x_poincare.astype(jnp.float32).mean(
+                axis=(1, 2), keepdims=True)
 
         out = jax.lax.fori_loop(
             0, LOOP, body, jnp.zeros((points.shape[0], 1, 1), jnp.float32)
@@ -106,7 +127,9 @@ def measure_tpu(batch_sizes=(8, 16, 32)):
                  "category": jnp.zeros((B,), jnp.int32)}
         state = system.init(key, batch)
         points = batch["points"]
-        for path, loop_fn in (("flax", forward_loop), ("fused", fused_loop)):
+        for path, loop_fn in (("flax", forward_loop),
+                              ("flax-bf16", forward_loop_bf16),
+                              ("fused", fused_loop)):
             try:
                 # warmup + compile; float() is a completion barrier even where
                 # block_until_ready does not synchronize (axon tunnel)
