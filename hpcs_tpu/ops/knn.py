@@ -55,5 +55,26 @@ def knn_auto(x, k):
 
 def gather_neighbors(x, idx):
     """Gather per-point neighbor features.  x: [B, N, ...], idx: [B, N, K] ->
-    [B, N, K, ...]."""
+    [B, N, K, ...].
+
+    On TPU the gather is a ONE-HOT MATMUL on the MXU: selection by a 0/1
+    matrix is numerically EXACT (one nonzero product per output row; fp32
+    needs HIGHEST so the 0/1 entries multiply full-precision values) and
+    measured ~2x faster than XLA's dynamic row gather at the flagship shape
+    (bf16: 1.7 vs 4.0 ms, fp32: 2.2 vs 4.4 ms at B=16/N=1024/K=20/C=21 —
+    the EdgeConv stages' dominant cost).  Elsewhere (CPU tests) the plain
+    indexed gather is faster.  HPCS_TPU_GATHER=auto|onehot|index overrides
+    (auto = one-hot on TPU only).
+    """
+    import os
+
+    mode = os.environ.get("HPCS_TPU_GATHER", "auto")
+    if mode == "onehot" or (mode == "auto" and jax.default_backend() == "tpu"):
+        B, N = x.shape[0], x.shape[1]
+        feat = x.shape[2:]
+        xf = x.reshape(B, N, -1)
+        oh = jax.nn.one_hot(idx.reshape(B, -1), N, dtype=x.dtype)
+        out = jnp.einsum("bmn,bnc->bmc", oh, xf,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(B, idx.shape[1], idx.shape[2], *feat)
     return jax.vmap(lambda xb, ib: xb[ib])(x, idx)

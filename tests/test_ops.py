@@ -111,3 +111,21 @@ def test_graph_feature_scalar():
     assert feat.shape == (2, 16, 4, 10)
     nb = gather_neighbors(x, idx)
     np.testing.assert_allclose(np.asarray(feat[..., :5]), np.asarray(nb - x[:, :, None]), atol=0)
+
+
+def test_gather_neighbors_onehot_matches_index(monkeypatch):
+    """MXU one-hot selection == indexed gather, bit-exact, both dtypes."""
+    import jax
+
+    from hpcs_tpu.ops.knn import gather_neighbors
+
+    key = jax.random.PRNGKey(5)
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(key, (2, 64, 7, 3), dt)
+        idx = jax.random.randint(key, (2, 64, 9), 0, 64)
+        monkeypatch.setenv("HPCS_TPU_GATHER", "index")
+        ref = gather_neighbors(x, idx)
+        monkeypatch.setenv("HPCS_TPU_GATHER", "onehot")
+        got = gather_neighbors(x, idx)
+        assert got.shape == ref.shape == (2, 64, 9, 7, 3)
+        assert bool(jnp.all(got == ref)), str(dt)
