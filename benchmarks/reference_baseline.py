@@ -47,7 +47,13 @@ def _stub_geoopt():
 
 def _stub_pml():
     """Stub pytorch_metric_learning (pulled in transitively through the
-    reference package __init__ chain; unused by the backbone forward)."""
+    reference package __init__ chain; unused by the backbone forward).
+
+    No-op when a pytorch_metric_learning is already importable (e.g. the
+    full tools/ref_compat shim): overwriting it with these empty dummies
+    would break later shim users in the same process (test-order bug)."""
+    if "pytorch_metric_learning" in sys.modules:
+        return
 
     class _Dummy:
         def __init__(self, *a, **k):

@@ -13,7 +13,22 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools", "ref_compat"))
+_SHIM_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "tools", "ref_compat"))
+sys.path.insert(0, _SHIM_DIR)
+
+@pytest.fixture(autouse=True)
+def _use_real_shims():
+    """benchmarks/reference_baseline.py installs attribute-less _Dummy
+    stand-ins for these packages (enough for the reference backbone import);
+    evict anything that is not the real ref_compat shim so imports inside
+    the tests resolve to the shim regardless of test order."""
+    for _name in list(sys.modules):
+        if _name.split(".")[0] in ("pytorch_metric_learning", "geoopt"):
+            _file = getattr(sys.modules[_name], "__file__", None)
+            if not (isinstance(_file, str) and _file.startswith(_SHIM_DIR)):
+                del sys.modules[_name]
+    yield
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
