@@ -9,10 +9,32 @@ on-device hierarchical decode — built for TPU meshes via pjit/shard_map.
 __version__ = "0.1.0"
 
 
+def _host_fingerprint():
+    """Short hash of the host CPU feature set.  XLA:CPU caches AOT machine
+    code; loading an entry compiled on a host with different features logs
+    'could lead to execution errors such as SIGILL' and can miscompute, so
+    CPU cache entries must never cross machines (TPU entries are keyed by
+    the device kind and are safe either way)."""
+    import hashlib
+    import platform
+
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(feat.encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache():
     """XLA compiles of the train/test steps take 30-500 s through a remote
     TPU tunnel; the persistent cache makes every relaunch sub-second.  Safe
-    at import: config updates don't initialize a backend."""
+    at import: config updates don't initialize a backend.  The directory is
+    suffixed with a host-CPU fingerprint (see _host_fingerprint)."""
     import os
 
     import jax
@@ -20,6 +42,7 @@ def _enable_persistent_compile_cache():
     cache_dir = os.environ.get(
         "HPCS_TPU_CACHE_DIR", os.path.expanduser("~/.cache/hpcs_tpu_xla")
     )
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -90,9 +90,12 @@ def select_platform(accelerator: str):
         if accelerator == "cpu":
             jax.config.update("jax_platforms", "cpu")
         # tpu/gpu: leave the default plugin in charge
+    from hpcs_tpu import _host_fingerprint
+
     cache_dir = os.environ.get(
         "HPCS_TPU_CACHE_DIR", os.path.expanduser("~/.cache/hpcs_tpu_xla")
     )
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

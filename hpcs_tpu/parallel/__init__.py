@@ -5,11 +5,14 @@ from .data_parallel import (
     replicate,
     shard_batch,
 )
+from .point_parallel import make_mesh_2d, make_point_sharded_forward
 
 __all__ = [
     "make_data_parallel_test_step",
     "make_data_parallel_train_step",
     "make_mesh",
+    "make_mesh_2d",
+    "make_point_sharded_forward",
     "replicate",
     "shard_batch",
 ]

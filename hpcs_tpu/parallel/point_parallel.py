@@ -1,0 +1,70 @@
+"""Point-axis (sequence) parallelism for very large clouds.
+
+The reference caps clouds at 1024-2048 points because every stage is
+O(N·K·C) on one device (vn_dgcnn_util.py:13-41).  For long-context scaling
+(SURVEY §5: 4096+ points) we shard the POINT axis over the mesh and let
+XLA's GSPMD partitioner insert the collectives — the scaling-book recipe
+(pick a mesh, annotate shardings, let XLA insert collectives):
+
+- the kNN Gram matrix [n_loc, N] needs the full candidate set: XLA
+  all-gathers the [N, 3] coordinates (tiny) over ICI;
+- neighbor one-hot gathers contract local query rows against the
+  all-gathered feature table [N, C, 3] (a few MB per EdgeConv stage);
+- pointwise convs, BN affines and the VN gates stay fully local;
+- global mean/max pools become psum/pmax over the `points` axis.
+
+Composes with data parallelism on a 2-D ("data", "points") mesh: batch
+sharded over `data`, points over `points`, parameters replicated.
+
+Caveat: the Pallas kNN kernel is not GSPMD-partitionable; the wrapper pins
+the kNN to the XLA path (identical results — the kernel is parity-tested
+against it) while tracing the sharded forward.
+"""
+import os
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
+def make_mesh_2d(n_data, n_points, devices=None):
+    """2-D ("data", "points") mesh: hybrid batch x point sharding."""
+    devices = devices if devices is not None else jax.devices()[: n_data * n_points]
+    assert len(devices) >= n_data * n_points, "not enough devices"
+    return Mesh(np.asarray(devices[: n_data * n_points]).reshape(n_data, n_points),
+                ("data", "points"))
+
+
+def make_point_sharded_forward(system, mesh):
+    """forward(params, batch_stats, points, decode_vector) -> (x_e, x_p)
+    with the point axis sharded over `mesh`'s "points" axis (and the batch
+    over "data" when present).  Parameters are replicated; XLA partitions
+    the flax graph and inserts the all-gathers/psums."""
+    data_ax = "data" if "data" in mesh.axis_names else None
+    repl = NamedSharding(mesh, P())
+    pts_in = NamedSharding(mesh, P(data_ax, "points", None))
+    dv_in = NamedSharding(mesh, P(data_ax, None))
+    out_sh = NamedSharding(mesh, P(data_ax, "points", None))
+
+    @partial(jax.jit, in_shardings=(repl, repl, pts_in, dv_in),
+             out_shardings=(out_sh, out_sh))
+    def _forward(params, batch_stats, points, decode_vector):
+        return system.net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            points, decode_vector, train=False,
+        )
+
+    def forward(params, batch_stats, points, decode_vector):
+        prev = os.environ.get("HPCS_TPU_DISABLE_PALLAS")
+        os.environ["HPCS_TPU_DISABLE_PALLAS"] = "1"  # GSPMD-partitionable kNN
+        try:
+            return _forward(params, batch_stats, points, decode_vector)
+        finally:
+            if prev is None:
+                os.environ.pop("HPCS_TPU_DISABLE_PALLAS", None)
+            else:
+                os.environ["HPCS_TPU_DISABLE_PALLAS"] = prev
+
+    return forward
