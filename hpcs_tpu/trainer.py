@@ -25,6 +25,52 @@ def _mean_logs(logs_list):
     return {k: float(np.mean([float(l[k]) for l in logs_list])) for k in keys}
 
 
+def _stack_epoch(train_loader, max_bytes=1 << 30):
+    """Collate a whole epoch of equal-shaped batches into one [S, ...] pytree
+    (plus a per-step remainder list for a ragged tail).  Returns (stacked,
+    remainder) or (None, None) when the epoch is too large/short to fuse."""
+    batches = list(train_loader)
+    if len(batches) < 2:
+        return None, None
+    lead = batches[0]["points"].shape
+    full = [b for b in batches if b["points"].shape == lead]
+    rest = [b for b in batches if b["points"].shape != lead]
+    if len(full) < 2:
+        return None, None
+    total = sum(np.asarray(v).nbytes for v in full[0].values()) * len(full)
+    if total > max_bytes:
+        return None, None
+    stacked = {k: np.stack([np.asarray(b[k]) for b in full]) for k in full[0]}
+    return stacked, rest
+
+
+def _make_fused_epoch(system):
+    """One-dispatch epoch: lax.scan of train_step over a stacked epoch.
+
+    The per-step path pays a host->device round trip per batch, which on a
+    tunneled TPU (~7-10 ms RTT) dwarfs the ~24 ms device step; scanning the
+    epoch on device runs at device speed.  The (state, key) carry folds the
+    key exactly like the host loop (fold_in(key, global_step + 1)), so the
+    trained state is step-for-step identical to the unfused path."""
+
+    @jax.jit
+    def epoch_fn(state, key, stacked, gs0, temperature):
+        steps = stacked["points"].shape[0]
+
+        def body(carry, xs):
+            state, key = carry
+            gs, batch = xs
+            key = jax.random.fold_in(key, gs + 1)
+            state, logs = system.train_step(state, batch, key, temperature)
+            return (state, key), logs
+
+        gs_arr = gs0 + jnp.arange(steps)
+        (state, key), logs = jax.lax.scan(body, (state, key), (gs_arr, stacked))
+        return state, key, logs
+
+    return epoch_fn
+
+
 def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
         seed=0, log_dir="logs", run_name="run", logger: MetricLogger = None,
         ckpt_dir=None, resume=None, train_step_fn=None, state=None):
@@ -42,6 +88,11 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
         state, start_epoch, _ = restore_checkpoint(resume, state)
 
     step_fn = train_step_fn or system.train_step
+    # fused (one-dispatch) epochs: only for the plain single-device step —
+    # DP steps shard batches explicitly; HPCS_TPU_FUSED_EPOCH=0 disables
+    fused_epoch = (train_step_fn is None
+                   and os.environ.get("HPCS_TPU_FUSED_EPOCH", "1") != "0")
+    epoch_fn = _make_fused_epoch(system) if fused_epoch else None
     best_val = float("inf")
     best_state = state
     bad_epochs = 0
@@ -50,7 +101,20 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         train_logs = []
-        for batch in train_loader:
+        stacked, rest = _stack_epoch(train_loader) if fused_epoch else (None, None)
+        if stacked is not None:
+            state, key, slogs = epoch_fn(
+                state, key, stacked, jnp.int32(global_step),
+                jnp.float32(system.temperature))
+            global_step += stacked["points"].shape[0]
+            slogs = {k: np.asarray(v) for k, v in slogs.items()}
+            train_logs.extend(
+                {k: v[i] for k, v in slogs.items()}
+                for i in range(stacked["points"].shape[0]))
+            epoch_batches = rest
+        else:
+            epoch_batches = train_loader
+        for batch in epoch_batches:
             key = jax.random.fold_in(key, global_step + 1)
             state, logs = step_fn(state, batch, key, jnp.float32(system.temperature))
             train_logs.append(logs)

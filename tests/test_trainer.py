@@ -60,3 +60,25 @@ def test_test_loop_limit_batches(tmp_path):
     state, _ = fit(system, tr, va, epochs=1, log_dir=str(tmp_path), run_name="t")
     out = run_decode_test(system, state, va, limit_batches=2)
     assert "score" in out and 0 <= out["score"] <= 1
+
+
+def test_fused_epoch_matches_per_step(tmp_path, monkeypatch):
+    """The one-dispatch scanned epoch trains step-for-step identically to the
+    host loop (same key folding, same batch order)."""
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("HPCS_TPU_FUSED_EPOCH", mode)
+        system = _tiny_system()
+        train_loader, valid_loader = _loaders(n=6, b=2)
+        logger = MetricLogger(str(tmp_path), f"fused_{mode}")
+        state, best = fit(system, train_loader, valid_loader, epochs=2,
+                          seed=3, log_dir=str(tmp_path), run_name=f"fused_{mode}",
+                          logger=logger)
+        results[mode] = (jax.tree.map(np.asarray, state.params), best)
+    p0, b0 = results["0"]
+    p1, b1 = results["1"]
+    assert b0 == pytest.approx(b1, rel=1e-5)
+    flat0 = jax.tree.leaves(p0)
+    flat1 = jax.tree.leaves(p1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, atol=1e-5)
