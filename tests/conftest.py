@@ -61,6 +61,30 @@ SLOW_TESTS = {
     "tests/test_geometry.py::test_hyp_lca_mat_matches_complex_construction_2d",
     # perf assertion — flaky under CPU contention, not a correctness test
     "tests/test_fast_txt.py::test_speedup_over_numpy",
+    # >8 s each on this throttled CPU (pytest --durations, 2026-08-17);
+    # each subsystem keeps at least one fast-path test
+    "tests/test_layout.py::test_backbone_layouts_match",
+    "tests/test_layout.py::test_backbone_vc_so3_invariant_output",
+    "tests/test_layout.py::test_vn_std_feature_layouts_match",
+    "tests/test_layout.py::test_vn_llr_layouts_match",
+    "tests/test_layout.py::test_vn_llr_vc_equivariant",
+    "tests/test_checkpoint.py::test_msgpack_roundtrip",
+    "tests/test_checkpoint.py::test_orbax_roundtrip",
+    "tests/test_optim.py::test_fused_radam_matches_per_leaf",
+    "tests/test_trainer.py::test_fused_epoch_matches_per_step",
+    "tests/test_miner.py::test_triplet_validity_laws",
+    "tests/test_miner.py::test_triplet_singleton_label_masked",
+    "tests/test_miner.py::test_triplet_single_class_all_masked",
+    "tests/test_pretrained.py::test_pretrained_cli_errors_loudly_without_file",
+    "tests/test_pretrained.py::test_raw_backbone_roundtrip",
+    "tests/test_backbones_alt.py::test_vn_pointnet_so3_invariance",
+    "tests/test_backbones_alt.py::test_pointnet_shape_and_logprobs",
+    "tests/test_backbones.py::test_vn_dgcnn_channel_geometry",
+    "tests/test_profiling.py::test_trace_writes_files",
+    "tests/test_reference_parity.py::test_lightning_checkpoint_conversion",
+    "tests/test_system.py::test_test_step_decodes",
+    "tests/test_system.py::test_eval_step",
+    "tests/test_geometry.py::test_hyp_lca_matches_reference_inversion_construction",
 }
 
 
