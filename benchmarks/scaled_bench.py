@@ -127,10 +127,47 @@ def bench_decode(B=8, N=1024, iters=3):
     return B / dt
 
 
+
+def bench_fused_epoch(B=8, N=1024, steps=16):
+    """Per-step cost inside the one-dispatch scanned epoch (the deployment
+    training path) vs the per-dispatch step measured in bench_train_step."""
+    import numpy as np
+
+    from hpcs_tpu.data import DataLoader, SyntheticPartDataset
+    from hpcs_tpu.models import HypHCSystem, ModelConfig
+    from hpcs_tpu.trainer import _make_fused_epoch, _stack_epoch
+
+    cfg = ModelConfig(dataset="shapenet", num_class=12, num_categories=4,
+                      fixed_points=N, eucl_dim=32, hyp_dim=32, k=20,
+                      t_per_anchor=50, temperature=0.05)
+    system = HypHCSystem(cfg)
+    ds = SyntheticPartDataset(num_objects=B * steps, npoints=N, num_categories=4)
+    loader = DataLoader(ds, B)
+    stacked, _ = _stack_epoch(loader)
+    key = jax.random.PRNGKey(0)
+    state = system.init(key, next(iter(loader)))
+    epoch_fn = _make_fused_epoch(system)
+
+    def run():
+        st, k2, logs = epoch_fn(state, key, stacked, jnp.int32(0), jnp.float32(0.05))
+        return float(jnp.sum(logs["total_loss"]))
+
+    run()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps / steps
+    print(f"fused-epoch train step B={B} N={N}: {dt * 1e3:.1f} ms/step -> {B / dt:.1f} clouds/s",
+          file=sys.stderr, flush=True)
+    return B / dt
+
+
 if __name__ == "__main__":
     results = {}
     results["knn_4096_ms"] = bench_knn()
     results["forward_4096_clouds_per_s"] = bench_forward_4096()
     results["train_step_1024_clouds_per_s"] = bench_train_step()
     results["decode_1024_objects_per_s"] = bench_decode()
+    results["fused_epoch_train_clouds_per_s"] = bench_fused_epoch()
     print(json.dumps(results))
