@@ -128,7 +128,10 @@ def get_optimal_k(y, Z, num_class, index="iou"):
         return jnp.where(valid, s, -1.0)
 
     scores = jax.vmap(score_for_k)(ks, preds)
-    best = jnp.argmax(scores)
+    # ks runs k_hi..1; the reference keeps the SMALLEST k among score ties
+    # (ascending sweep with strictly-greater updates, scores.py:141-177), so
+    # take the LAST argmax
+    best = scores.shape[0] - 1 - jnp.argmax(scores[::-1])
     return _relabel_consecutive(roots[best]), ks[best], scores[best]
 
 

@@ -217,3 +217,17 @@ def test_cut_roots_sweep_partitions_match_cuts():
         pairs = set(zip(labels[i].tolist(), want.tolist()))
         assert len(pairs) == len(set(want.tolist()))
         assert len(pairs) == len({a for a, _ in pairs})
+
+
+def test_get_optimal_k_tie_break_matches_host_oracle():
+    """Among equal-score cuts the reference keeps the smallest k (ascending
+    sweep, strictly-greater updates); random labels produce such ties often."""
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        x = jnp.asarray(rng.randn(48, 6).astype(np.float32))
+        y = rng.randint(0, 5, 48)
+        Z = linkage(x, method="complete", metric="cosine")
+        _, k_dev, s_dev = get_optimal_k(jnp.asarray(y), Z, num_class=5, index="iou")
+        _, k_host, s_host = get_optimal_k_host(y, np.asarray(Z), index="iou")
+        assert float(s_dev) == pytest.approx(s_host, abs=1e-5), trial
+        assert int(k_dev) == k_host, trial
