@@ -56,7 +56,8 @@ def main():
         state, _, _ = restore_checkpoint(args.ckpt, state)
 
     n_rows = len(args.noises)
-    fig, axes = plt.subplots(n_rows, 3, figsize=(12, 3.4 * n_rows))
+    fig, axes = plt.subplots(n_rows, 3, figsize=(12, 3.4 * n_rows),
+                             squeeze=False)
     scores = []
     for r, noise in enumerate(args.noises):
         ds = SyntheticPartDataset(num_objects=1, npoints=args.npoints,

@@ -90,17 +90,10 @@ def select_platform(accelerator: str):
         if accelerator == "cpu":
             jax.config.update("jax_platforms", "cpu")
         # tpu/gpu: leave the default plugin in charge
-    from hpcs_tpu import _host_fingerprint
+    # single source of truth for the cache-dir keying (host fingerprint etc.)
+    from hpcs_tpu import _enable_persistent_compile_cache
 
-    cache_dir = os.environ.get(
-        "HPCS_TPU_CACHE_DIR", os.path.expanduser("~/.cache/hpcs_tpu_xla")
-    )
-    cache_dir = os.path.join(cache_dir, _host_fingerprint())
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the persistent cache config
+    _enable_persistent_compile_cache()
 
 
 def configure_data(args):
@@ -194,5 +187,6 @@ def configure(args):
                               seed=args.seed, num_workers=workers)
     valid_loader = DataLoader(valid_ds, args.batch, shuffle=False, drop_last=True,
                               num_workers=workers)
-    test_loader = DataLoader(test_ds, args.batch, shuffle=False, drop_last=True)
+    test_loader = DataLoader(test_ds, args.batch, shuffle=False, drop_last=True,
+                             num_workers=workers)
     return system, train_loader, valid_loader, test_loader

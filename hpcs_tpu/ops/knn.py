@@ -41,12 +41,33 @@ def knn(x, k):
     return idx
 
 
+import contextlib
+import contextvars
+
+# trace-scoped (and thread-local) pin to the XLA kNN path — used by GSPMD
+# forwards whose graphs must be partitionable (pallas_call is not); a
+# contextvar instead of an env var so a long compile in one thread cannot
+# flip the dispatch of unrelated traces
+_FORCE_XLA_KNN = contextvars.ContextVar("hpcs_tpu_force_xla_knn", default=False)
+
+
+@contextlib.contextmanager
+def force_xla_knn():
+    token = _FORCE_XLA_KNN.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA_KNN.reset(token)
+
+
 def knn_auto(x, k):
     """Dispatch to the fused Pallas kernel on TPU (HBM-traffic-free scores),
-    the XLA path elsewhere.  Set HPCS_TPU_DISABLE_PALLAS=1 to force XLA."""
+    the XLA path elsewhere.  Set HPCS_TPU_DISABLE_PALLAS=1 (or enter
+    force_xla_knn()) to force XLA."""
     import os
 
-    if os.environ.get("HPCS_TPU_DISABLE_PALLAS") != "1" and jax.default_backend() == "tpu":
+    forced = _FORCE_XLA_KNN.get() or os.environ.get("HPCS_TPU_DISABLE_PALLAS") == "1"
+    if not forced and jax.default_backend() == "tpu":
         from .pallas.knn_pallas import knn_pallas
 
         return knn_pallas(x, k)

@@ -87,12 +87,21 @@ def make_multihost_train_step(system, mesh):
     return step
 
 
-def process_slice(n_items):
-    """This process's contiguous slice of a global dataset of n_items
-    (per-host input pipeline: each host reads only its own objects)."""
-    per = n_items // jax.process_count()
+def process_indices(n_items):
+    """This process's item indices for a global dataset of n_items (per-host
+    input pipeline: each host reads only its own objects).
+
+    Every host gets exactly ceil(n_items / process_count) indices — equal
+    counts are mandatory (hosts run collectives in lockstep, so they must
+    take the same number of steps).  When n_items does not divide evenly the
+    tail wraps around to the front, so every object is read by at least one
+    host (a plain floor-division slice silently dropped the remainder)."""
+    import numpy as np
+
+    n_proc = jax.process_count()
+    per = -(-n_items // n_proc)  # ceil
     start = jax.process_index() * per
-    return slice(start, start + per)
+    return np.arange(start, start + per) % n_items
 
 
 def global_batch_from_host_shards(mesh, host_batch):

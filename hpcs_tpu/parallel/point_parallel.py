@@ -17,10 +17,12 @@ Composes with data parallelism on a 2-D ("data", "points") mesh: batch
 sharded over `data`, points over `points`, parameters replicated.
 
 Caveat: the Pallas kNN kernel is not GSPMD-partitionable; the wrapper pins
-the kNN to the XLA path (identical results — the kernel is parity-tested
-against it) while tracing the sharded forward.
+the kNN to the XLA path (fp32-HIGHEST scores) while tracing the sharded
+forward.  On real TPU the unsharded forward's kernel default is "split"
+two-limb-bf16 scoring (0.9999 neighbor agreement with fp32), so sp-sharded
+and unsharded outputs can differ on near-tie neighbors at the same rate —
+set HPCS_TPU_KNN_MODE=exact to make both sides bit-compatible.
 """
-import os
 from functools import partial
 
 import jax
@@ -57,14 +59,10 @@ def make_point_sharded_forward(system, mesh):
         )
 
     def forward(params, batch_stats, points, decode_vector):
-        prev = os.environ.get("HPCS_TPU_DISABLE_PALLAS")
-        os.environ["HPCS_TPU_DISABLE_PALLAS"] = "1"  # GSPMD-partitionable kNN
-        try:
+        from ..ops.knn import force_xla_knn
+
+        # trace-scoped, thread-local pin — GSPMD cannot partition pallas_call
+        with force_xla_knn():
             return _forward(params, batch_stats, points, decode_vector)
-        finally:
-            if prev is None:
-                os.environ.pop("HPCS_TPU_DISABLE_PALLAS", None)
-            else:
-                os.environ["HPCS_TPU_DISABLE_PALLAS"] = prev
 
     return forward

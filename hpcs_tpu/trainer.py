@@ -28,8 +28,26 @@ def _mean_logs(logs_list):
 def _stack_epoch(train_loader, max_bytes=1 << 30):
     """Collate a whole epoch of equal-shaped batches into one [S, ...] pytree
     (plus a per-step remainder list for a ragged tail).  Returns (stacked,
-    remainder) or (None, None) when the epoch is too large/short to fuse."""
-    batches = list(train_loader)
+    remainder) or (None, None) when the epoch is too large/short to fuse.
+
+    The size check runs BEFORE materializing: a too-big epoch must not be
+    read twice (once here, once by the caller's per-step loop) or spike host
+    RAM with a full-epoch copy."""
+    try:
+        n_batches = len(train_loader)
+    except TypeError:
+        n_batches = None
+    if n_batches is not None:
+        if n_batches < 2:
+            return None, None
+        it = iter(train_loader)
+        first = next(it)
+        first_bytes = sum(np.asarray(v).nbytes for v in first.values())
+        if first_bytes * n_batches > max_bytes:
+            return None, None
+        batches = [first] + list(it)
+    else:
+        batches = list(train_loader)
     if len(batches) < 2:
         return None, None
     lead = batches[0]["points"].shape

@@ -37,7 +37,7 @@ def worker(process_id, num_processes, port):
         initialize_distributed,
         make_hybrid_mesh,
         make_multihost_train_step,
-        process_slice,
+        process_indices,
         replicate_global,
     )
 
@@ -55,8 +55,8 @@ def worker(process_id, num_processes, port):
     GLOBAL_B = 16
     ds = SyntheticPartDataset(num_objects=GLOBAL_B, npoints=64,
                               num_categories=2, parts_per_object=3)
-    sl = process_slice(GLOBAL_B)
-    local_items = [ds[i] for i in range(sl.start, sl.stop)]
+    idxs = process_indices(GLOBAL_B)
+    local_items = [ds[int(i)] for i in idxs]
     from hpcs_tpu.data.loader import _collate
 
     host_batch = _collate(local_items)

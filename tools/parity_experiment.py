@@ -496,6 +496,10 @@ if __name__ == "__main__":
         REF_JSON = os.path.join(BENCH, f"_parity_ref_s{args.seed}.json")
         JAX_JSON = os.path.join(BENCH, f"_parity_jax_s{args.seed}.json")
         EMB_NPZ = os.path.join(BENCH, f"_parity_jax_embeddings_s{args.seed}.npz")
+        # keep the per-seed decode evidence separate too — report() presents
+        # the seed-0 file as the same-embedding parity exhibit, and a later
+        # decode run for another seed must not clobber it
+        DECODE_JSON = os.path.join(BENCH, f"_parity_decode_s{args.seed}.json")
     if args.stage in ("data", "all"):
         make_data()
     if args.stage in ("ref", "all"):
