@@ -106,3 +106,12 @@ def roll_rot(gamma):
 def rot_3d(yaw, pitch, roll):
     """Composed rotation R = R_yaw @ R_pitch @ R_roll."""
     return yaw_rot(yaw) @ pitch_rot(pitch) @ roll_rot(roll)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """x / max(|x|, eps) — the one shared clamped-normalize (miner cosine,
+    HypHC radius normalization, CosFace logits all use this exact form; a
+    single definition keeps their similarity scales in sync)."""
+    import jax.numpy as jnp
+
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)

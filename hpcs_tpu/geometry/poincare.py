@@ -114,9 +114,13 @@ def get_midpoint_o(x):
 
 def hyp_dist_o(x, keepdims=True):
     """Hyperbolic distance of x from the origin: 2 * artanh(|x|)."""
-    # NOTE: unlike the reference (no min-clamp on the norm here), keep the raw
-    # norm so hyp_dist_o(0) == 0 exactly; artanh handles the boundary clamp.
-    n = jnp.sqrt(jnp.maximum(_sqnorm(x, keepdims), 0.0) + 0.0)
+    # MIN_NORM^2 floor under the sqrt: at an exactly-zero input (e.g. the LCA
+    # projection of fp32-antipodal embeddings) the clamp branch is selected,
+    # so the gradient is 0 like torch's x.norm() subgradient — an unclamped
+    # sqrt'(0) = inf turns the masked loss sum into NaN and poisons Adam
+    # state.  Forward error: 2*artanh(1e-15) ~ 2e-15, below fp32 resolution
+    # of any nonzero distance.
+    n = jnp.sqrt(jnp.maximum(_sqnorm(x, keepdims), MIN_NORM * MIN_NORM))
     return 2.0 * artanh(n)
 
 

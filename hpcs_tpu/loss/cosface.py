@@ -14,6 +14,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ..geometry.math_ops import l2_normalize
+
 
 def cosface_init(key, embedding_size, num_classes, dtype=jnp.float32):
     """W ~ N(0, 1) [embedding_size, num_classes] (PML initializes its W with
@@ -23,10 +25,8 @@ def cosface_init(key, embedding_size, num_classes, dtype=jnp.float32):
 
 def cosface_logits(W, embeddings, labels, margin=0.35, scale=2.0):
     """Scaled margin-modified cosine logits [M, L]."""
-    emb_n = embeddings / jnp.maximum(
-        jnp.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12
-    )
-    W_n = W / jnp.maximum(jnp.linalg.norm(W, axis=0, keepdims=True), 1e-12)
+    emb_n = l2_normalize(embeddings)
+    W_n = l2_normalize(W, axis=0)
     cosine = emb_n @ W_n  # [M, L]
     onehot = jax.nn.one_hot(labels, W.shape[1], dtype=cosine.dtype)
     return scale * (cosine - margin * onehot)

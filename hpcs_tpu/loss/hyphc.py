@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..geometry.math_ops import l2_normalize
+
 from ..geometry import hyp_lca
 from ..miner.triplet import Triplets, cosine_similarity01
 
@@ -26,15 +28,12 @@ from ..miner.triplet import Triplets, cosine_similarity01
 def normalize_to_radius(embeddings, scale):
     """Place embeddings on the sphere of radius clamp(scale, 1e-4, 1) — all
     leaves on one diameter (reference normalize_embeddings :139-143)."""
-    unit = embeddings / jnp.maximum(
-        jnp.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12
-    )
-    return unit * jnp.clip(scale, 1e-4, 1.0)
+    return l2_normalize(embeddings) * jnp.clip(scale, 1e-4, 1.0)
 
 
 def mean_pairwise_similarity(x):
     """Closed-form mean of the full [M, M] cosine-similarity01 matrix."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
     s = jnp.sum(xn, axis=0)
     M = x.shape[0]
     return 0.5 + 0.5 * jnp.sum(s * s) / (M * M)

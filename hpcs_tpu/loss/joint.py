@@ -28,7 +28,6 @@ class LossConfig:
     margin: float = 1.0
     t_per_anchor: int = 50
     fraction: float = 1.2
-    anneal_factor: float = 0.5
     cosface: bool = True
     miner: bool = True
     hierarchical: bool = False

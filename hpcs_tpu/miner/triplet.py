@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..geometry.math_ops import l2_normalize
+
 
 class Triplets(NamedTuple):
     anchor: jnp.ndarray  # [T] int32
@@ -41,16 +43,16 @@ class Triplets(NamedTuple):
 def cosine_similarity01(x, y=None):
     """Similarity rescaled to [0, 1]: 0.5 * (1 + cos(x, y)).
     Reference: /root/reference/hpcs/distances/cosine.py:4-16."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
     if y is None:
         yn = xn
     else:
-        yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+        yn = l2_normalize(y)
     return 0.5 * (1.0 + jnp.sum(xn * yn, axis=-1))
 
 
 def pairwise_cosine_similarity01(x):
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
     return 0.5 * (1.0 + xn @ xn.T)
 
 

@@ -85,11 +85,12 @@ def decode_vector_for_batch(cfg: ModelConfig, batch: Dict[str, jnp.ndarray]):
     """The category conditioning vector fed to the backbone head.
 
     ShapeNet: one-hot object category [B, 16] (shapenet_hyp_hc.py:84) or the
-    per-object part-presence vector when class_vector (:75-82).  PartNet: a
-    constant one-hot of the single dummy category (partnet_hyp_hc.py:102-103).
+    per-object part-presence vector when class_vector (:75-82).  PartNet:
+    the part-presence vector when class_vector (partnet_hyp_hc.py:93-100),
+    else a constant one-hot of the single dummy category (:102-103).
     """
     B = batch["points"].shape[0]
-    if cfg.dataset == "partnet":
+    if cfg.dataset == "partnet" and not cfg.class_vector:
         return jnp.ones((B, 1), jnp.float32)
     if cfg.class_vector:
         labels = batch["labels"]  # [B, N]
@@ -112,7 +113,6 @@ class HypHCSystem:
             margin=cfg.margin,
             t_per_anchor=cfg.t_per_anchor,
             fraction=cfg.fraction,
-            anneal_factor=cfg.anneal_factor,
             cosface=cfg.cosface,
             miner=cfg.miner,
             hierarchical=cfg.use_hierarchical,
@@ -225,8 +225,11 @@ class HypHCSystem:
 
     @partial(jax.jit, static_argnames=("self",))
     def eval_step(self, state: TrainState, batch, key, temperature):
+        # validation matches the reference's forward(testing=False), which
+        # rotates with TRAIN_rotation (shapenet_hyp_hc.py:55-61;
+        # base_hyp_hc.py:179-180) — test_rotation is for test_step only
         k_rot, k_loss = jax.random.split(key)
-        points = augment(k_rot, batch["points"], self.cfg.test_rotation)
+        points = augment(k_rot, batch["points"], self.cfg.train_rotation)
         dv = decode_vector_for_batch(self.cfg, batch)
         x_e, x_p, _ = self._apply(state.params, state.batch_stats, points, dv, False)
         losses, metrics = self._losses_and_metrics(

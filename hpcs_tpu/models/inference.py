@@ -56,9 +56,20 @@ def _scalar_head(x, p, s, relu=True, slope=0.2):
 def vn_dgcnn_fast_forward(params, batch_stats, points, decode_vector, k):
     """Eval-mode forward of VNDGCNNPartSeg + embedder, fused for TPU.
 
+    MEAN-pooling models only: the fused EdgeConv kernel mean-pools over
+    neighbors.  A pooling='max' checkpoint carries VNMaxPool dir_kernel
+    params — refuse loudly instead of silently mean-pooling a max model.
+
     Returns (x_euclidean [B, N, F], x_poincare [B, N, H]).
     """
     bp, bs = params["backbone"], batch_stats["backbone"]
+    # pooling='max' checkpoints carry VNMaxPool modules named pool1..pool3
+    # (vn_dgcnn.py:60-62, only instantiated for max pooling)
+    if any(k.startswith("pool") for k in bp):
+        raise NotImplementedError(
+            "vn_dgcnn_fast_forward only supports pooling='mean'; these params "
+            "carry VNMaxPool layers (pool1..pool3) — use the flax graph "
+            "(system.net.apply) for max-pooling checkpoints")
     B, N, _ = points.shape
 
     # --- EdgeConv stages (fused Pallas kernels) ---

@@ -224,3 +224,16 @@ def test_hyp_lca_differentiable():
     b = _rand_ball(k2, (8, 3))
     g = jax.grad(lambda a, b: jnp.sum(hyp_lca(a, b, return_coord=False)))(a, b)
     assert jnp.all(jnp.isfinite(g))
+
+
+def test_hyp_dist_o_zero_input_grad_finite():
+    """sqrt'(0)=inf used to NaN the gradient at an exactly-zero LCA
+    projection (fp32-antipodal embeddings); the MIN_NORM^2 floor selects the
+    clamp branch -> 0 gradient, matching torch's norm() subgradient."""
+    from hpcs_tpu.geometry.poincare import hyp_dist_o
+
+    g = jax.grad(lambda x: jnp.sum(hyp_dist_o(x)))(jnp.zeros((3, 2)))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) == 0.0
+    # forward at zero is (numerically) zero
+    assert float(jnp.squeeze(hyp_dist_o(jnp.zeros((1, 2))))) < 1e-12

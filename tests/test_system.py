@@ -152,3 +152,41 @@ def test_class_vector_decode_vector():
     dv = decode_vector_for_batch(system.cfg, batch)
     assert dv.shape == (2, 6)
     assert set(np.unique(np.asarray(dv))) <= {0.0, 1.0}
+
+
+def test_eval_step_uses_train_rotation():
+    """Reference validation runs forward(testing=False) -> TRAIN rotation
+    (base_hyp_hc.py:179-180, shapenet_hyp_hc.py:55-61): with
+    train_rotation='none' and test_rotation='so3', eval_step must be
+    deterministic across keys while test_step varies."""
+    system = _small_system(train_rotation="none", test_rotation="so3")
+    batch = _batch(system)
+    state = system.init(KEY, batch)
+    a = system.eval_step(state, batch, jax.random.PRNGKey(1), jnp.float32(0.1))
+    b = system.eval_step(state, batch, jax.random.PRNGKey(2), jnp.float32(0.1))
+    # same loss pieces up to miner sampling; the backbone input is unrotated
+    # in both, so val embeddings match exactly -> acc/iou identical
+    assert float(a["acc"]) == float(b["acc"])
+    assert float(a["iou"]) == float(b["iou"])
+
+
+def test_partnet_class_vector_decode_vector():
+    """PartNet + class_vector -> per-object part-presence vector
+    (reference partnet_hyp_hc.py:93-100), not the dummy ones vector."""
+    from hpcs_tpu.models.base import decode_vector_for_batch
+
+    system = _small_system()
+    import dataclasses
+
+    cfg = dataclasses.replace(system.cfg, dataset="partnet", class_vector=True)
+    batch = _batch(system)
+    dv = np.asarray(decode_vector_for_batch(cfg, batch))
+    assert dv.shape == (2, cfg.num_class)
+    for b in range(2):
+        present = np.unique(np.asarray(batch["labels"][b]))
+        want = np.zeros(cfg.num_class)
+        want[present] = 1.0
+        np.testing.assert_array_equal(dv[b], want)
+    cfg_plain = dataclasses.replace(cfg, class_vector=False)
+    dv2 = np.asarray(decode_vector_for_batch(cfg_plain, batch))
+    assert dv2.shape == (2, 1) and (dv2 == 1.0).all()
