@@ -187,6 +187,7 @@ def configure(args):
                               seed=args.seed, num_workers=workers)
     valid_loader = DataLoader(valid_ds, args.batch, shuffle=False, drop_last=True,
                               num_workers=workers)
-    test_loader = DataLoader(test_ds, args.batch, shuffle=False, drop_last=True,
+    # reference train.py:189: the TEST loader keeps the ragged tail
+    test_loader = DataLoader(test_ds, args.batch, shuffle=False, drop_last=False,
                              num_workers=workers)
     return system, train_loader, valid_loader, test_loader

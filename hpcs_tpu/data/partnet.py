@@ -8,7 +8,7 @@ import os
 
 import numpy as np
 
-from .transforms import pc_normalize
+from .transforms import pc_normalize, resample
 
 try:
     import h5py
@@ -32,7 +32,7 @@ class PartNetDataset:
         self.data_num = np.concatenate(point_nums, axis=0)
         self.label_seg = np.concatenate(labels_seg, axis=0)
         self.npoints = npoints
-        self._rng = np.random.default_rng()
+        self._seed = 0  # per-item rng; see shapenet.py note
 
     def __len__(self):
         return self.points.shape[0]
@@ -41,5 +41,6 @@ class PartNetDataset:
         points = self.points[index]
         label_seg = self.label_seg[index]
         points = np.concatenate([pc_normalize(points[:, 0:3]), points[:, 3:]], axis=1)
-        choice = self._rng.integers(0, len(label_seg), self.npoints)
-        return points[choice].astype(np.float32), label_seg[choice]
+        rng = np.random.default_rng((self._seed, index))
+        points, label_seg = resample(rng, points, label_seg, self.npoints)
+        return points.astype(np.float32), label_seg

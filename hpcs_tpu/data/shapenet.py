@@ -14,7 +14,7 @@ import os.path as osp
 import numpy as np
 
 from .fast_txt import loadtxt as fast_loadtxt
-from .transforms import pc_normalize
+from .transforms import pc_normalize, resample
 
 SEG_CLASSES = {
     "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35],
@@ -66,7 +66,10 @@ class ShapeNetDataset:
         self.classes = {c: self.classes_original[c] for c in self.cat}
         self.cache = {}
         self.cache_size = cache_size
-        self._rng = np.random.default_rng()
+        # per-item Generators: prefetch worker threads call __getitem__
+        # concurrently and numpy Generators are not thread-safe (a shared
+        # one silently correlates resample indices under --num_workers)
+        self._seed = 0
 
     def __len__(self):
         return len(self.datapath)
@@ -88,6 +91,7 @@ class ShapeNetDataset:
             if len(self.cache) < self.cache_size:
                 self.cache[index] = (point_set, cls, seg)
         if self.npoints > 0:
-            choice = self._rng.integers(0, len(seg), self.npoints)
-            return point_set[choice], cls, seg[choice]
+            rng = np.random.default_rng((self._seed, index))
+            point_set, seg = resample(rng, point_set, seg, self.npoints)
+            return point_set, cls, seg
         return point_set, cls, seg

@@ -197,7 +197,7 @@ def _compact(s, half):
     """
     order = jnp.argsort(~s["active"], stable=True).astype(jnp.int32)
     keep = order[:half]
-    return dict(
+    out = dict(
         D=s["D"][keep][:, keep],
         cluster_id=s["cluster_id"][keep],
         size=s["size"][keep],
@@ -205,6 +205,9 @@ def _compact(s, half):
         Z=s["Z"],
         cursor=s["cursor"],
     )
+    if "rounds" in s:
+        out["rounds"] = s["rounds"]
+    return out
 
 
 @partial(jax.jit, static_argnames=("method",))
@@ -236,20 +239,37 @@ def linkage_from_distances_mnn(D, method="complete"):
         cursor=jnp.int32(0),
     )
 
+    # every round merges >= 1 pair on finite symmetric D (the global-min
+    # pair is always mutual), so N - 1 rounds upper-bound the whole run; the
+    # explicit bound keeps an all-NaN D (e.g. after a NaN-diverged training
+    # run) from livelocking the device loop (argmin -> 0 everywhere, no
+    # leaders, cursor never advances) — it exits with garbage rows instead,
+    # matching NaN-in/garbage-out elsewhere
+    state["rounds"] = jnp.int32(0)
+
+    def _bounded(body):
+        def wrapped(s):
+            rounds = s["rounds"]  # the round body rebuilds the state dict
+            s = body(s)
+            s["rounds"] = rounds + 1
+            return s
+        return wrapped
+
     M = N
     while M > _MIN_STAGE:  # static (python) cascade over halving sizes
         M_next = max(_MIN_STAGE, (M + 1) // 2)
 
         def cond(s, _target=M_next):
-            return (s["cursor"] < N - 1) & (
+            return (s["cursor"] < N - 1) & (s["rounds"] < N) & (
                 jnp.sum(s["active"].astype(jnp.int32)) > _target)
 
-        state = jax.lax.while_loop(cond, _mnn_round_body(M, N, method), state)
+        state = jax.lax.while_loop(cond, _bounded(_mnn_round_body(M, N, method)), state)
         state = _compact(state, M_next)
         M = M_next
 
     state = jax.lax.while_loop(
-        lambda s: s["cursor"] < N - 1, _mnn_round_body(M, N, method), state)
+        lambda s: (s["cursor"] < N - 1) & (s["rounds"] < N),
+        _bounded(_mnn_round_body(M, N, method)), state)
     Z = state["Z"][: N - 1]
 
     # stable sort by merge distance; renumber merged-cluster ids to row order

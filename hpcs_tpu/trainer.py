@@ -106,6 +106,9 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
         state, start_epoch, _ = restore_checkpoint(resume, state)
 
     step_fn = train_step_fn or system.train_step
+    ever_improved = False  # without a finite val_loss, return the LAST
+    # trained state — returning the initial `best_state` would silently save
+    # untrained weights (empty valid loader via drop_last, or NaN val_loss)
     # fused (one-dispatch) epochs: only for the plain single-device step —
     # DP steps shard batches explicitly; HPCS_TPU_FUSED_EPOCH=0 disables
     fused_epoch = (train_step_fn is None
@@ -170,6 +173,7 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
         if val_loss < best_val:
             best_val = val_loss
             best_state = state
+            ever_improved = True
             bad_epochs = 0
             if ckpt_dir:
                 save_checkpoint(os.path.join(ckpt_dir, "best"), state, system.cfg, epoch)
@@ -182,6 +186,10 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
 
     if own_logger:
         logger.close()
+    if not ever_improved:
+        print("warning: no finite val_loss was observed (empty valid loader "
+              "or NaN); returning the last trained state", flush=True)
+        best_state = state
     return best_state, best_val
 
 

@@ -19,6 +19,7 @@ class MetricLogger:
         self._csv_file = None
         self._csv_writer = None
         self._csv_fields = None
+        self._csv_schema_idx = 0
         self.wandb = None
         if use_wandb:
             try:
@@ -38,10 +39,16 @@ class MetricLogger:
         self.jsonl.flush()
         fields = sorted(rec)
         if self._csv_writer is None or fields != self._csv_fields:
+            # one schema per file: appending a second header + different-width
+            # rows to the same metrics.csv (e.g. the test pass after training)
+            # made the file unparseable for pandas.read_csv
             if self._csv_file:
                 self._csv_file.close()
+                self._csv_schema_idx += 1
             self._csv_fields = fields
-            self._csv_file = open(os.path.join(self.log_dir, "metrics.csv"), "a", newline="")
+            name = ("metrics.csv" if self._csv_schema_idx == 0
+                    else f"metrics_{self._csv_schema_idx}.csv")
+            self._csv_file = open(os.path.join(self.log_dir, name), "a", newline="")
             self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields)
             self._csv_writer.writeheader()
         self._csv_writer.writerow(rec)

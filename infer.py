@@ -74,7 +74,7 @@ def main():
     else:
         ds = SyntheticPartDataset(num_objects=32, npoints=args.fixed_points, seed=3)
 
-    loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True, seed=args.seed)
+    loader = DataLoader(ds, args.batch, shuffle=True, drop_last=False, seed=args.seed)
     sample = next(iter(loader))
     state = system.init(jax.random.PRNGKey(args.seed), sample)
     state, _, _ = restore_checkpoint(path, state)

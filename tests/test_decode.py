@@ -231,3 +231,14 @@ def test_get_optimal_k_tie_break_matches_host_oracle():
         _, k_host, s_host = get_optimal_k_host(y, np.asarray(Z), index="iou")
         assert float(s_dev) == pytest.approx(s_host, abs=1e-5), trial
         assert int(k_dev) == k_host, trial
+
+
+def test_mnn_linkage_terminates_on_nan():
+    """An all-NaN distance matrix (NaN-diverged embeddings) used to livelock
+    the unbounded MNN while_loop (argmin -> 0 everywhere, no mutual leaders,
+    cursor stuck); the N-round bound exits with garbage rows instead."""
+    from hpcs_tpu.decode.linkage import linkage_from_distances_mnn
+
+    D = jnp.full((32, 32), jnp.nan, jnp.float32)
+    Z = np.asarray(linkage_from_distances_mnn(D))
+    assert Z.shape == (31, 4)  # contents unspecified — NaN in, garbage out

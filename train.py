@@ -59,9 +59,9 @@ def main():
 
         sample = next(iter(test_loader))
         state = system.init(jax.random.PRNGKey(args.seed), sample)
-        if args.resume:
-            print(f"Resuming model from {args.resume}")
-            state, _, _ = restore_checkpoint(args.resume, state)
+        # NOTE: --resume is handled inside fit() (trainer.py), which also
+        # restores the starting epoch; restoring here too deserialized the
+        # checkpoint twice
 
     if args.pretrained:
         # reference pretrained-weight surgery (/root/reference/train.py:76-96):
