@@ -23,11 +23,20 @@ _tried = False
 
 
 def _build():
+    # compile to a unique temp path then atomically rename: two processes
+    # sharing the repo (multi-host launch) must never observe a half-written
+    # .so, whose fresh mtime would suppress rebuilds forever
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-        check=True, capture_output=True,
-    )
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -43,7 +52,14 @@ def _load():
                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
             ):
                 _build()
-            lib = ctypes.CDLL(_SO)
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                # corrupt .so from a crashed build: delete + rebuild once so
+                # a fresh mtime doesn't pin all future runs to numpy.loadtxt
+                os.unlink(_SO)
+                _build()
+                lib = ctypes.CDLL(_SO)
             lib.parse_float_table.restype = ctypes.c_long
             lib.parse_float_table.argtypes = [
                 ctypes.c_char_p,

@@ -68,6 +68,29 @@ def purity(y_true, y_pred, c_max, k_max):
     return jnp.sum(jnp.max(cont, axis=0)) / jnp.maximum(jnp.sum(cont), 1)
 
 
+def weighted_jaccard(y_true, y_pred, c_max, k_max):
+    """sklearn jaccard_score(average='weighted') over raw id equality —
+    the reference's second eval_clustering metric (scores.py:239: remapped
+    cluster ids compared to remapped label ids as class predictions).
+    Per-class J_c = TP/(TP+FP+FN) weighted by true-class support; classes
+    with an empty union score 0 like sklearn.
+
+    Caveat: the value depends on which arbitrary cluster NUMBER each flat
+    cluster gets.  Our cuts number clusters by ascending root id while
+    scipy's fcluster numbers by its internal dendrogram DFS, so on the same
+    partition the two pipelines can disagree on this metric (verified:
+    partitions identical, numbering differs for k>2) — a property of the
+    reference metric itself, not of the clustering."""
+    m = max(c_max, k_max)
+    cont = contingency(y_true, y_pred, m, m).astype(jnp.float32)
+    tp = jnp.diagonal(cont)
+    support = jnp.sum(cont, axis=1)
+    pred_count = jnp.sum(cont, axis=0)
+    denom = support + pred_count - tp
+    j = jnp.where(denom > 0, tp / jnp.maximum(denom, 1e-12), 0.0)
+    return jnp.sum(support * j) / jnp.maximum(jnp.sum(support), 1.0)
+
+
 def _iou_matching_score(y_true, y_pred, n_true, c_max, k_max):
     """The reference's greedy IoU matching score (scores.py:160-175):
     each true cluster claims its best-IoU predicted cluster (later true
@@ -137,13 +160,19 @@ def get_optimal_k(y, Z, num_class, index="iou"):
 
 @partial(jax.jit, static_argnames=("num_class",))
 def eval_clustering(y, Z, num_class):
-    """Cut at the true cluster count; report (ARI, purity)
-    (reference eval_clustering scores.py:229-240 — its weighted-jaccard
-    second metric compares raw label values, we report purity instead,
-    which is the quality measure named by the benchmark target)."""
+    """Cut at the true cluster count; report (ARI, weighted IoU, purity).
+    The first two mirror the reference's eval_clustering return pair
+    (scores.py:229-240: rand + jaccard_score(average='weighted') on
+    np.unique-remapped ids); purity is kept as the benchmark-target
+    quality measure."""
     y_true, n_true = remap_consecutive(y, num_class)
-    y_pred = cut_maxclust(Z, n_true)
+    y_pred_raw = cut_maxclust(Z, n_true)
     k_max = min(num_class + 4, Z.shape[0] + 1) + 1
+    # the reference remaps cluster ids consecutively (np.unique inverse)
+    # before scoring; the jaccard metric compares raw id equality so the
+    # remap matters there (ARI/purity are permutation-invariant)
+    y_pred, _ = remap_consecutive(y_pred_raw, k_max)
     ri = adjusted_rand_index(y_true, y_pred, num_class, k_max)
+    wiou = weighted_jaccard(y_true, y_pred, num_class, k_max)
     pu = purity(y_true, y_pred, num_class, k_max)
-    return ri, pu
+    return ri, wiou, pu

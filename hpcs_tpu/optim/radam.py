@@ -246,8 +246,13 @@ def plateau_init(lr: float) -> PlateauState:
 
 
 def plateau_update(state: PlateauState, metric: float, factor=0.5, patience=4,
-                   min_lr=1e-6, min_delta=0.0) -> PlateauState:
-    if metric < state.best - min_delta:
+                   min_lr=1e-6, threshold=1e-4) -> PlateauState:
+    # torch ReduceLROnPlateau default semantics (mode='min',
+    # threshold_mode='rel', threshold=1e-4): an epoch only counts as an
+    # improvement when metric < best * (1 - threshold).  An absolute/zero
+    # threshold would treat any 1e-9 jiggle on a flat plateau as progress
+    # and never decay the LR where the reference does.
+    if metric < state.best * (1.0 - threshold):
         return PlateauState(lr=state.lr, best=metric, num_bad=0)
     num_bad = state.num_bad + 1
     if num_bad > patience:

@@ -95,13 +95,28 @@ def process_indices(n_items):
     counts are mandatory (hosts run collectives in lockstep, so they must
     take the same number of steps).  When n_items does not divide evenly the
     tail wraps around to the front, so every object is read by at least one
-    host (a plain floor-division slice silently dropped the remainder)."""
+    host (a plain floor-division slice silently dropped the remainder).
+
+    CAVEAT: the wrapped tail means some objects appear on TWO hosts.  That
+    is correct for lockstep training (duplicate gradient contributions are
+    just a reweighting of a few samples) but would double-count objects in
+    distributed *evaluation* — use process_indices_with_mask there and
+    weight per-object metrics by the mask before aggregating."""
+    return process_indices_with_mask(n_items)[0]
+
+
+def process_indices_with_mask(n_items):
+    """(indices, valid) for this process: `indices` as process_indices, and
+    `valid[i]` False for wrapped-duplicate entries (assigned to an earlier
+    host already).  Metric aggregation over all hosts should weight each
+    object by `valid` so duplicates count once."""
     import numpy as np
 
     n_proc = jax.process_count()
     per = -(-n_items // n_proc)  # ceil
     start = jax.process_index() * per
-    return np.arange(start, start + per) % n_items
+    raw = np.arange(start, start + per)
+    return raw % n_items, raw < n_items
 
 
 def global_batch_from_host_shards(mesh, host_batch):

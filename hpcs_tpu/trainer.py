@@ -6,6 +6,7 @@ EarlyStopping(val_loss, patience), ReduceLROnPlateau, LR monitoring, and
 per-epoch metric logging.  All device work happens inside the jitted step
 functions of HypHCSystem; this loop only moves batches and scalars.
 """
+import itertools
 import os
 import time
 
@@ -27,37 +28,40 @@ def _mean_logs(logs_list):
 
 def _stack_epoch(train_loader, max_bytes=1 << 30):
     """Collate a whole epoch of equal-shaped batches into one [S, ...] pytree
-    (plus a per-step remainder list for a ragged tail).  Returns (stacked,
-    remainder) or (None, None) when the epoch is too large/short to fuse.
-
-    The size check runs BEFORE materializing: a too-big epoch must not be
-    read twice (once here, once by the caller's per-step loop) or spike host
-    RAM with a full-epoch copy."""
+    (plus a per-step remainder for a ragged tail).  Returns (stacked, rest)
+    where `rest` is an iterable of per-step batches; (None, rest) means the
+    epoch could not be fused, and `rest` re-yields every batch already
+    consumed followed by the remainder of the loader — so a one-shot
+    iterator is never silently exhausted and a sized loader is never read
+    twice (no wasted shuffle/prefetch spin-up, no full-epoch RAM spike)."""
+    it = iter(train_loader)
     try:
         n_batches = len(train_loader)
     except TypeError:
         n_batches = None
-    if n_batches is not None:
-        if n_batches < 2:
-            return None, None
-        it = iter(train_loader)
-        first = next(it)
-        first_bytes = sum(np.asarray(v).nbytes for v in first.values())
-        if first_bytes * n_batches > max_bytes:
-            return None, None
-        batches = [first] + list(it)
-    else:
-        batches = list(train_loader)
+    if n_batches is not None and n_batches < 2:
+        return None, it
+    first = next(it, None)
+    if first is None:
+        return None, ()
+    first_bytes = sum(np.asarray(v).nbytes for v in first.values())
+    if n_batches is not None and first_bytes * n_batches > max_bytes:
+        return None, itertools.chain([first], it)
+    # materialize incrementally under the byte cap (covers unsized loaders
+    # and sized loaders whose later batches are bigger than the first)
+    batches, total = [first], first_bytes
+    for b in it:
+        total += sum(np.asarray(v).nbytes for v in b.values())
+        batches.append(b)
+        if total > max_bytes:
+            return None, itertools.chain(batches, it)
     if len(batches) < 2:
-        return None, None
+        return None, batches
     lead = batches[0]["points"].shape
     full = [b for b in batches if b["points"].shape == lead]
     rest = [b for b in batches if b["points"].shape != lead]
     if len(full) < 2:
-        return None, None
-    total = sum(np.asarray(v).nbytes for v in full[0].values()) * len(full)
-    if total > max_bytes:
-        return None, None
+        return None, batches
     stacked = {k: np.stack([np.asarray(b[k]) for b in full]) for k in full[0]}
     return stacked, rest
 
@@ -122,7 +126,8 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         train_logs = []
-        stacked, rest = _stack_epoch(train_loader) if fused_epoch else (None, None)
+        stacked, rest = _stack_epoch(train_loader) if fused_epoch else (None, train_loader)
+        epoch_batches = rest
         if stacked is not None:
             state, key, slogs = epoch_fn(
                 state, key, stacked, jnp.int32(global_step),
@@ -132,9 +137,6 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
             train_logs.extend(
                 {k: v[i] for k, v in slogs.items()}
                 for i in range(stacked["points"].shape[0]))
-            epoch_batches = rest
-        else:
-            epoch_batches = train_loader
         for batch in epoch_batches:
             key = jax.random.fold_in(key, global_step + 1)
             state, logs = step_fn(state, batch, key, jnp.float32(system.temperature))

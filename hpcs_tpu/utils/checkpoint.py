@@ -21,10 +21,26 @@ def _config_dict(cfg):
     return d
 
 
-def save_checkpoint(path, state, cfg, epoch=0, extra=None):
-    """Save TrainState + config.  `path` is a directory (orbax) created on
-    demand; a portable single-file `model.ckpt` is written inside it too."""
+def save_checkpoint(path, state, cfg, epoch=0, extra=None, use_orbax=None):
+    """Save TrainState + config into directory `path`.
+
+    Single-process: a portable single-file msgpack `model.ckpt`.
+    Multi-process (or use_orbax=True): a coordinated orbax directory
+    checkpoint — every-host msgpack writes would race on a shared
+    filesystem and `device_get` of sharded arrays gathers the full state
+    to every host; orbax writes each shard once, with process 0 writing
+    the metadata."""
     os.makedirs(path, exist_ok=True)
+    if use_orbax is None:
+        use_orbax = jax.process_count() > 1
+    if use_orbax:
+        save_checkpoint_orbax(path, state)
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"epoch": epoch, "extra": extra or {}}, f)
+            with open(os.path.join(path, "config.json"), "w") as f:
+                json.dump(_config_dict(cfg), f, indent=2, default=str)
+        return
     payload = {
         "state": jax.device_get(state),
         "epoch": epoch,
@@ -43,7 +59,16 @@ def load_config(path):
 
 def restore_checkpoint(path, template_state):
     """Restore into a template TrainState (from system.init on a sample
-    batch) — the flax analogue of load_from_checkpoint."""
+    batch) — the flax analogue of load_from_checkpoint.  Accepts either
+    format written by save_checkpoint (msgpack file or orbax directory)."""
+    if os.path.isdir(path) and os.path.isdir(os.path.join(path, "orbax")):
+        state = restore_checkpoint_orbax(path, template_state)
+        meta = {"epoch": 0, "extra": {}}
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return state, meta["epoch"], meta.get("extra", {})
     ckpt_file = path if os.path.isfile(path) else os.path.join(path, "model.ckpt")
     with open(ckpt_file, "rb") as f:
         payload = flax.serialization.from_bytes(

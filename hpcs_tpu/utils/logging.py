@@ -16,10 +16,10 @@ class MetricLogger:
         self.log_dir = os.path.join(log_dir, run_name)
         os.makedirs(self.log_dir, exist_ok=True)
         self.jsonl = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
-        self._csv_file = None
-        self._csv_writer = None
-        self._csv_fields = None
-        self._csv_schema_idx = 0
+        # schema tuple -> (file, DictWriter): records that alternate between
+        # field sets (train-only vs train+val) reuse their schema's file
+        # instead of allocating a new metrics_N.csv on every flip
+        self._csv = {}
         self.wandb = None
         if use_wandb:
             try:
@@ -37,28 +37,27 @@ class MetricLogger:
             rec["step"] = int(step)
         self.jsonl.write(json.dumps(rec) + "\n")
         self.jsonl.flush()
-        fields = sorted(rec)
-        if self._csv_writer is None or fields != self._csv_fields:
+        fields = tuple(sorted(rec))
+        if fields not in self._csv:
             # one schema per file: appending a second header + different-width
             # rows to the same metrics.csv (e.g. the test pass after training)
             # made the file unparseable for pandas.read_csv
-            if self._csv_file:
-                self._csv_file.close()
-                self._csv_schema_idx += 1
-            self._csv_fields = fields
-            name = ("metrics.csv" if self._csv_schema_idx == 0
-                    else f"metrics_{self._csv_schema_idx}.csv")
-            self._csv_file = open(os.path.join(self.log_dir, name), "a", newline="")
-            self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields)
-            self._csv_writer.writeheader()
-        self._csv_writer.writerow(rec)
-        self._csv_file.flush()
+            idx = len(self._csv)
+            name = "metrics.csv" if idx == 0 else f"metrics_{idx}.csv"
+            f = open(os.path.join(self.log_dir, name), "a", newline="")
+            w = csv.DictWriter(f, fieldnames=list(fields))
+            w.writeheader()
+            self._csv[fields] = (f, w)
+        f, w = self._csv[fields]
+        w.writerow(rec)
+        f.flush()
         if self.wandb is not None:
             self.wandb.log(rec, step=step)
 
     def close(self):
         self.jsonl.close()
-        if self._csv_file:
-            self._csv_file.close()
+        for f, _ in self._csv.values():
+            f.close()
+        self._csv = {}
         if self.wandb is not None:
             self.wandb.finish()

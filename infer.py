@@ -11,12 +11,45 @@ import os
 
 
 def check_model_path(model_path):
+    if model_path.startswith("wandb:"):
+        return fetch_wandb_checkpoint(model_path[len("wandb:"):])
     if os.path.exists(model_path):
         return model_path
     raise FileNotFoundError(
         f"checkpoint not found: {model_path} (expected a directory with "
-        "model.ckpt + config.json, or a model.ckpt file)"
+        "model.ckpt + config.json, a model.ckpt file, or wandb:<run_path>)"
     )
+
+
+def fetch_wandb_checkpoint(run_path, dest=None):
+    """Migration route for reference checkpoints hosted on Weights & Biases
+    (reference resume path: /root/reference/infer.py:15-24 wandb.restore).
+    Downloads the Lightning model.ckpt + config.yaml from the run and
+    converts them into this repo's local-directory format via
+    tools/import_checkpoint.py.  Requires the wandb package and network
+    access; offline users should download model.ckpt themselves and run
+    `python tools/import_checkpoint.py` on it."""
+    import subprocess
+    import sys
+
+    try:
+        import wandb
+    except ImportError as e:
+        raise RuntimeError(
+            "wandb:<run_path> checkpoints need the wandb package; download "
+            "model.ckpt manually and convert it with tools/import_checkpoint.py"
+        ) from e
+    dest = dest or os.path.join("wandb_ckpts", run_path.replace("/", "_"))
+    os.makedirs(dest, exist_ok=True)
+    wandb.restore("model.ckpt", run_path=run_path, root=dest)
+    converted = os.path.join(dest, "imported")
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "tools",
+                                      "import_checkpoint.py"),
+         os.path.join(dest, "model.ckpt"), converted],
+        check=True,
+    )
+    return converted
 
 
 def build_args(sub, dataset):

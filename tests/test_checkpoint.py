@@ -71,3 +71,16 @@ def test_orbax_roundtrip(tmp_path, trained):
     template = system.init(jax.random.PRNGKey(321), batch)
     restored = restore_checkpoint_orbax(path, template)
     assert _tree_equal(restored.params, state.params)
+
+
+def test_save_checkpoint_orbax_path_roundtrips(tmp_path, trained):
+    """The multi-host branch of save_checkpoint (use_orbax) restores through
+    the same restore_checkpoint entry the trainer uses for --resume."""
+    system, state, batch = trained
+    path = str(tmp_path / "mh")
+    save_checkpoint(path, state, system.cfg, epoch=3, use_orbax=True)
+    template = system.init(jax.random.PRNGKey(321), batch)
+    restored, epoch, _ = restore_checkpoint(path, template)
+    assert epoch == 3
+    assert _tree_equal(restored.params, state.params)
+    assert load_config(path)["num_class"] == 6

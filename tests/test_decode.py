@@ -126,9 +126,28 @@ def test_eval_clustering():
     x, labels = _clustered_points(jax.random.fold_in(KEY, 4), n_clusters=4, per=12,
                                   spread=0.01)
     Z = linkage(x, method="complete", metric="euclidean")
-    ri, pu = eval_clustering(labels, Z, num_class=8)
+    ri, wiou, pu = eval_clustering(labels, Z, num_class=8)
     assert float(ri) == pytest.approx(1.0, abs=1e-5)
     assert float(pu) == pytest.approx(1.0, abs=1e-6)
+    assert 0.0 <= float(wiou) <= 1.0
+
+
+def test_weighted_jaccard_matches_sklearn():
+    """weighted_jaccard (the reference's second eval_clustering metric,
+    scores.py:239) pinned against sklearn jaccard_score(average='weighted')
+    on the same remapped ids."""
+    from sklearn.metrics import jaccard_score
+
+    from hpcs_tpu.decode.scores import weighted_jaccard
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        y_true = rng.integers(0, 5, size=60)
+        y_pred = rng.integers(0, 7, size=60)
+        ours = float(weighted_jaccard(jnp.asarray(y_true), jnp.asarray(y_pred),
+                                      c_max=5, k_max=7))
+        ref = jaccard_score(y_true, y_pred, average="weighted", zero_division=0)
+        assert ours == pytest.approx(ref, abs=1e-6)
 
 
 def test_decode_batch_vmap():

@@ -114,6 +114,29 @@ def test_plateau_schedule_matches_reference_semantics():
     assert s.lr >= 1e-6
 
 
+def test_plateau_schedule_matches_torch_trace():
+    """Pin plateau_update against torch's ReduceLROnPlateau with the
+    reference hyperparameters (factor 0.5, patience 4, default rel
+    threshold 1e-4; /root/reference/hpcs/models/base_hyp_hc.py:146-147).
+    Includes a flat plateau with 1e-9 jiggle, where an absolute/zero
+    threshold would diverge from torch (jiggles counted as improvement)."""
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.05)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=4, min_lr=1e-6)
+    s = plateau_init(0.05)
+    metrics = [1.0, 0.9, 0.8]
+    metrics += [0.8 - 1e-9, 0.8 + 1e-9] * 6   # flat plateau, tiny jiggle
+    metrics += [0.4, 0.4 * (1 - 5e-5)]        # sub-threshold improvement
+    metrics += [0.5] * 12                     # decay again
+    for m in metrics:
+        sched.step(m)
+        s = plateau_update(s, m)
+        assert s.lr == pytest.approx(opt.param_groups[0]["lr"]), m
+
+
 # ---------------------------------------------------------------- fused RAdam
 def test_fused_radam_matches_per_leaf():
     """riemannian_adam_fused (packed buckets, zero-padded lanes) must produce

@@ -62,6 +62,36 @@ def test_test_loop_limit_batches(tmp_path):
     assert "score" in out and 0 <= out["score"] <= 1
 
 
+def test_stack_epoch_never_loses_consumed_batches():
+    """_stack_epoch hands already-consumed batches back to the per-step loop
+    when the fuse is rejected: a one-shot iterator must not be silently
+    exhausted (zero training steps) and a sized loader must not be read
+    twice."""
+    from hpcs_tpu.trainer import _stack_epoch
+
+    def batches(n, pts=32):
+        for i in range(n):
+            yield {"points": np.zeros((2, pts, 3), np.float32),
+                   "labels": np.zeros((2, pts), np.int32),
+                   "category": np.zeros((2,), np.int32)}
+
+    # one-shot generator over the byte cap: every batch comes back via rest
+    stacked, rest = _stack_epoch(batches(5), max_bytes=1)
+    assert stacked is None
+    assert len(list(rest)) == 5
+    # one-shot generator, fusable: all batches land in the stack
+    stacked, rest = _stack_epoch(batches(4))
+    assert stacked is not None and stacked["points"].shape[0] == 4
+    assert len(list(rest)) == 0
+    # single-batch epoch: not fusable, batch still delivered
+    stacked, rest = _stack_epoch(batches(1))
+    assert stacked is None and len(list(rest)) == 1
+    # sized loader over the cap: nothing consumed twice, nothing lost
+    sized = list(batches(3))
+    stacked, rest = _stack_epoch(sized, max_bytes=1)
+    assert stacked is None and len(list(rest)) == 3
+
+
 def test_fused_epoch_matches_per_step(tmp_path, monkeypatch):
     """The one-dispatch scanned epoch trains step-for-step identically to the
     host loop (same key folding, same batch order)."""
