@@ -23,7 +23,26 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INF = 3.4e38  # python float: a jnp scalar here would initialize the backend at import
+# "infinite distance" sentinel.  Python float (a jnp scalar here would
+# initialize the backend at import), and deliberately BELOW the bf16
+# round-to-inf boundary (3.396e38): the one-hot selection matmuls below run
+# at HIGHEST precision, whose bf16-limb decomposition of any operand above
+# that boundary overflows to inf and turns the correction terms into NaN.
+# Any value >> 2 (the max cosine distance) works as infinity here.
+_INF = 1e30
+
+
+def _select_rows(P, D):
+    """Row selection D[j_of, :] as a one-hot MXU matmul.
+
+    XLA's dynamic gather of [M] rows from [M, M] runs ~10x below HBM
+    bandwidth on TPU (the round-2 EdgeConv lesson, PLAN.md); a 0/1 matrix
+    times fp32 values at HIGHEST precision is a bit-exact selection and
+    rides the MXU instead.  P[i, m] = 1 iff j_of[i] == m.
+    """
+    return jnp.einsum("im,mj->ij", P, D,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def cosine_distance_matrix(x):
@@ -110,80 +129,149 @@ _MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 
 
 def _mnn_round_body(M, N, method):
-    """One MNN round at compacted slot count M (Z/cluster ids stay global N)."""
+    """One MNN round at compacted slot count M (Z/cluster ids stay global N).
+
+    Merges are capped at K = max(64, M // 8) pairs per round and the merge
+    set is COMPACTED to K slots, so every expensive operation is [K, M] or
+    smaller instead of [M, M]: in practice the NN graph of tight clusters is
+    star-shaped (measured: 17-37 mutual pairs among ~1000 active), so full-
+    width partner selections did [M, M] work for ~3% of rows.  Merging any
+    subset of the mutual-NN pairs is exact for reducible linkages: a merge
+    elsewhere can only move other clusters *away* (complete = max, single =
+    min over two values each >= the pair distance, average = convex
+    combination of two such values), so every un-merged mutual pair remains
+    mutual next round.
+    """
     slots = jnp.arange(M, dtype=jnp.int32)
     eye = jnp.eye(M, dtype=bool)
+    K = max(64, M // 8)
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    if method == "complete":
+        comb = jnp.maximum
+    elif method == "single":
+        comb = jnp.minimum
+    elif method == "average":
+        comb = None
+    else:
+        raise ValueError(f"unknown linkage method {method!r}")
 
     def body(s):
         D = s["D"]
         active = s["active"]
+        cursor = s["cursor"]
+        # min and argmin come out of one reduction pass; the old
+        # take_along_axis for nn_val was a 100 us latency-bound gather
         nn_idx = jnp.argmin(D, axis=1).astype(jnp.int32)
-        nn_val = jnp.take_along_axis(D, nn_idx[:, None], axis=1)[:, 0]
-        mutual = active & (nn_idx[nn_idx] == slots) & active[nn_idx]
-        leader = mutual & (slots < nn_idx)
-
-        j_of = nn_idx  # partner slot
-        # Z row positions for this round: cursor + rank among leaders
-        rank = jnp.cumsum(leader.astype(jnp.int32)) - 1
-        pos = jnp.where(leader, s["cursor"] + rank, N - 1)  # N-1 = trash slot
+        nn_val = jnp.min(D, axis=1)
+        # inactive columns hold _INF, so an active row's NN is always an
+        # active slot — no active[nn_idx] gather needed.  [M]-indexed
+        # gathers are ~65-100 us each on TPU (latency-bound); the nn∘nn
+        # composition is instead a fused [M, M] compare-reduce whose inputs
+        # are only [M] vectors — a few us of pure VPU compute.
+        mutual = active & jnp.any(
+            (nn_idx[:, None] == slots[None, :]) & (nn_idx[None, :] == slots[:, None]),
+            axis=1)
+        lead_all = mutual & (slots < nn_idx)
+        rank = jnp.cumsum(lead_all.astype(jnp.int32)) - 1
+        leader = lead_all & (rank < K)
         n_pairs = jnp.sum(leader.astype(jnp.int32))
 
-        ci = s["cluster_id"]
-        cj = s["cluster_id"][j_of]
-        new_size = s["size"] + s["size"][j_of]
-        rows = jnp.stack(
+        # partner's (rank, leader) pulled through the same one-hot-reduce
+        # trick (single nonzero term -> exact in s32)
+        packed = rank * 2 + leader.astype(jnp.int32)
+        packed_p = jnp.sum(
+            jnp.where(nn_idx[:, None] == slots[None, :], packed[None, :], 0),
+            axis=1)
+        prank = packed_p // 2
+        plead = (packed_p & 1).astype(bool)
+        dead = mutual & (slots > nn_idx) & plead
+
+        # compacted merge list: lead_slots[k] = slot of the k-th leader
+        # (pad entries = M, dropped by scatters / clipped+masked by gathers)
+        lead_slots = jnp.full((K,), M, jnp.int32).at[
+            jnp.where(leader, rank, K)].set(slots, mode="drop")
+        valid = ks < n_pairs
+        partner_slots = jnp.where(
+            valid, jnp.take(nn_idx, jnp.minimum(lead_slots, M - 1)), M)
+
+        # per-merge bookkeeping at [K] width (was [M]-wide masked ops); one
+        # packed row gather per side (nn_val rides along f32-bitcast)
+        arr = jnp.stack(
+            [s["cluster_id"], s["size"],
+             jax.lax.bitcast_convert_type(nn_val, jnp.int32)], axis=-1)  # [M, 3]
+        lk = jnp.take(arr, jnp.minimum(lead_slots, M - 1), axis=0)       # [K, 3]
+        pk = jnp.take(arr, jnp.minimum(partner_slots, M - 1), axis=0)    # [K, 3]
+        ci, cj = lk[:, 0], pk[:, 0]
+        new_size_k = lk[:, 1] + pk[:, 1]
+        dist_k = jax.lax.bitcast_convert_type(lk[:, 2], jnp.float32)
+        rows_k = jnp.stack(
             [jnp.minimum(ci, cj).astype(jnp.float32),
              jnp.maximum(ci, cj).astype(jnp.float32),
-             nn_val,
-             new_size.astype(jnp.float32)], axis=-1,
-        )  # [M, 4]
-        trash = s["Z"][N - 1]
-        Z = s["Z"].at[pos].set(jnp.where(leader[:, None], rows, trash))
+             dist_k,
+             new_size_k.astype(jnp.float32)], axis=-1)  # [K, 4]
+        # contiguous Z write: merges this round land at rows cursor..cursor+
+        # n_pairs-1 (Z is padded by K rows so the slice never clamps)
+        cur_rows = jax.lax.dynamic_slice(s["Z"], (cursor, 0), (K, 4))
+        Z = jax.lax.dynamic_update_slice(
+            s["Z"], jnp.where(valid[:, None], rows_k, cur_rows), (cursor, 0))
 
-        # merge distances: row pass then column pass handles pair-pair terms
-        if method == "complete":
-            comb = jnp.maximum
-        elif method == "single":
-            comb = jnp.minimum
-        elif method == "average":
-            comb = None
-        else:
-            raise ValueError(f"unknown linkage method {method!r}")
-
+        # the K needed rows of D are plain gathers (K x M reads); a one-hot
+        # matmul would re-read the whole [M, M] matrix per precision pass
+        Rl = jnp.take(D, jnp.minimum(lead_slots, M - 1), axis=0)
+        Rp = jnp.take(D, jnp.minimum(partner_slots, M - 1), axis=0)
+        # one fused [2K, M] selector build (rows 0..K-1 = leaders, K..2K-1 =
+        # partners) so the pair-pair fix below is a single matmul
+        k2 = jnp.arange(2 * K, dtype=jnp.int32)
+        SelLP = jnp.where(
+            (k2 < K)[:, None],
+            (rank[None, :] == k2[:, None]) & leader[None, :],
+            (prank[None, :] == (k2 - K)[:, None]) & dead[None, :],
+        ).astype(jnp.float32)
+        Lsel = SelLP[:K]
         if comb is not None:
-            # algebraically fused row+column update: expanding the column
-            # pass over the row-updated D1 gives one elementwise kernel with
-            # four (gathered) reads of D and a single write — no D1
-            # materialization (the 2-kernel form read/wrote D ~7x per round)
-            Djr = D[j_of, :]
-            Djc = D[:, j_of]
-            Djrc = Djr[:, j_of]
-            r1 = jnp.where(leader[:, None], comb(D, Djr), D)
-            r2 = jnp.where(leader[:, None], comb(Djc, Djrc), Djc)
-            D2 = jnp.where(leader[None, :], comb(r1, r2), r1)
+            R = comb(Rl, Rp)  # merged cluster k -> every old slot
+            # merged-to-merged fix: d(k, k') = comb over k's row at columns
+            # l_{k'} and p_{k'}; one [K, M]x[M, 2K] one-hot matmul (reads of
+            # R only) beats latency-bound column gathers here
+            Clp = _select_rows(R, SelLP.T)  # [K, 2K]
+            C = comb(Clp[:, :K], Clp[:, K:])
         else:  # size-weighted average
-            si = s["size"].astype(jnp.float32)[:, None]
-            sj = s["size"][j_of].astype(jnp.float32)[:, None]
-            both = (D < _INF) & (D[j_of, :] < _INF)
-            avg_r = jnp.where(both, (si * D + sj * D[j_of, :]) / (si + sj), _INF)
-            D1 = jnp.where(leader[:, None], avg_r, D)
-            siT = s["size"].astype(jnp.float32)[None, :]
-            sjT = s["size"][j_of].astype(jnp.float32)[None, :]
-            bothT = (D1 < _INF) & (D1[:, j_of] < _INF)
-            avg_c = jnp.where(bothT, (siT * D1 + sjT * D1[:, j_of]) / (siT + sjT), _INF)
-            D2 = jnp.where(leader[None, :], avg_c, D1)
-
-        dead = mutual & (slots > nn_idx)
-        D2 = jnp.where(dead[:, None] | dead[None, :], _INF, D2)
+            sl = lk[:, 1].astype(jnp.float32)[:, None]
+            sp = pk[:, 1].astype(jnp.float32)[:, None]
+            both = (Rl < _INF) & (Rp < _INF)
+            R = jnp.where(both, (sl * Rl + sp * Rp) / jnp.maximum(sl + sp, 1.0),
+                          _INF)
+            Clp = _select_rows(R, SelLP.T)
+            Cl, Cp = Clp[:, :K], Clp[:, K:]
+            slT, spT = sl.reshape(1, K), sp.reshape(1, K)
+            bothC = (Cl < _INF) & (Cp < _INF)
+            C = jnp.where(bothC, (slT * Cl + spT * Cp) / jnp.maximum(slT + spT, 1.0),
+                          _INF)
+        # write the pair-pair distances into leader columns, kill dead
+        # columns; then scatter the K finished rows (and, transposed, the K
+        # finished columns) back into [M, M] via one-hot matmuls — their
+        # cost is the single [M, M] write each
+        Rfix = jnp.where(leader[None, :], _select_rows(C, Lsel),
+                         jnp.where(dead[None, :], _INF, R))
+        scat = _select_rows(Lsel.T, Rfix)   # [M, M], zero on non-leader rows
+        scatT = _select_rows(Rfix.T, Lsel)  # == scat.T without a transpose copy
+        D2 = jnp.where(leader[:, None], scat,
+                       jnp.where(dead[:, None], _INF,
+                                 jnp.where(leader[None, :], scatT,
+                                           jnp.where(dead[None, :], _INF, D))))
         D2 = jnp.where(eye, _INF, D2)
 
+        # cluster_id/active update as pure [M] elementwise ops (each XLA
+        # scatter lowers to a ~20 us serialized while on TPU; size keeps the
+        # one scatter because its new value needs partner data)
         return dict(
             D=D2,
-            cluster_id=jnp.where(leader, N + pos, s["cluster_id"]),
-            size=jnp.where(leader, new_size, s["size"]),
+            cluster_id=jnp.where(leader, N + cursor + rank, s["cluster_id"]),
+            size=s["size"].at[lead_slots].set(new_size_k, mode="drop"),
             active=active & ~dead,
             Z=Z,
-            cursor=s["cursor"] + n_pairs,
+            cursor=cursor + n_pairs,
         )
 
     return body
@@ -197,8 +285,12 @@ def _compact(s, half):
     """
     order = jnp.argsort(~s["active"], stable=True).astype(jnp.int32)
     keep = order[:half]
+    # [half, M] one-hot selection: K @ D @ K^T == D[keep][:, keep] exactly
+    # (see _select_rows) without the 2-D dynamic gather
+    M = s["D"].shape[0]
+    K = (keep[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     out = dict(
-        D=s["D"][keep][:, keep],
+        D=_select_rows(K, _select_rows(K, s["D"]).T).T,
         cluster_id=s["cluster_id"][keep],
         size=s["size"][keep],
         active=s["active"][keep],
@@ -235,7 +327,9 @@ def linkage_from_distances_mnn(D, method="complete"):
         cluster_id=jnp.arange(N, dtype=jnp.int32),
         size=jnp.ones((N,), jnp.int32),
         active=jnp.ones((N,), bool),
-        Z=jnp.zeros((N, 4), jnp.float32),
+        # padded by the max per-round merge cap so the contiguous
+        # dynamic-slice Z write in the round body never clamps
+        Z=jnp.zeros((N + max(64, N // 8), 4), jnp.float32),
         cursor=jnp.int32(0),
     )
 
