@@ -187,29 +187,38 @@ def _mnn_round_body(M, N, method):
         plead = (packed_p & 1).astype(bool)
         dead = mutual & (slots > nn_idx) & plead
 
-        # compacted merge list: lead_slots[k] = slot of the k-th leader
-        # (pad entries = M, dropped by scatters / clipped+masked by gathers)
-        lead_slots = jnp.full((K,), M, jnp.int32).at[
-            jnp.where(leader, rank, K)].set(slots, mode="drop")
+        # one fused [2K, M] selector build (rows 0..K-1 = leaders, K..2K-1 =
+        # partners); every piece of per-merge bookkeeping below is pulled
+        # through ONE [2K, M] x [M, 5] one-hot matmul — an XLA scatter for
+        # lead_slots alone was a 40 us serialized fusion, and each [K]-row
+        # gather another ~10-25 us of latency
+        k2 = jnp.arange(2 * K, dtype=jnp.int32)
+        SelLP = jnp.where(
+            (k2 < K)[:, None],
+            (rank[None, :] == k2[:, None]) & leader[None, :],
+            (prank[None, :] == (k2 - K)[:, None]) & dead[None, :],
+        ).astype(jnp.float32)
+        Lsel = SelLP[:K]
+        V = jnp.stack(
+            [slots.astype(jnp.float32), nn_idx.astype(jnp.float32),
+             s["cluster_id"].astype(jnp.float32), s["size"].astype(jnp.float32),
+             nn_val], axis=-1)  # [M, 5]; ints < 2^24 and f32 values are
+        # exact through the HIGHEST-precision one-hot selection
+        book = _select_rows(SelLP, V)  # [2K, 5]
         valid = ks < n_pairs
-        partner_slots = jnp.where(
-            valid, jnp.take(nn_idx, jnp.minimum(lead_slots, M - 1)), M)
-
-        # per-merge bookkeeping at [K] width (was [M]-wide masked ops); one
-        # packed row gather per side (nn_val rides along f32-bitcast)
-        arr = jnp.stack(
-            [s["cluster_id"], s["size"],
-             jax.lax.bitcast_convert_type(nn_val, jnp.int32)], axis=-1)  # [M, 3]
-        lk = jnp.take(arr, jnp.minimum(lead_slots, M - 1), axis=0)       # [K, 3]
-        pk = jnp.take(arr, jnp.minimum(partner_slots, M - 1), axis=0)    # [K, 3]
-        ci, cj = lk[:, 0], pk[:, 0]
-        new_size_k = lk[:, 1] + pk[:, 1]
-        dist_k = jax.lax.bitcast_convert_type(lk[:, 2], jnp.float32)
+        lead_slots = jnp.where(valid, book[:K, 0].astype(jnp.int32), M)
+        partner_slots = jnp.where(valid, book[:K, 1].astype(jnp.int32), M)
+        ci = book[:K, 2].astype(jnp.int32)
+        cj = book[K:, 2].astype(jnp.int32)
+        size_l = book[:K, 3]
+        size_p = book[K:, 3]
+        new_size_k = size_l + size_p
+        dist_k = book[:K, 4]
         rows_k = jnp.stack(
             [jnp.minimum(ci, cj).astype(jnp.float32),
              jnp.maximum(ci, cj).astype(jnp.float32),
              dist_k,
-             new_size_k.astype(jnp.float32)], axis=-1)  # [K, 4]
+             new_size_k], axis=-1)  # [K, 4]
         # contiguous Z write: merges this round land at rows cursor..cursor+
         # n_pairs-1 (Z is padded by K rows so the slice never clamps)
         cur_rows = jax.lax.dynamic_slice(s["Z"], (cursor, 0), (K, 4))
@@ -220,15 +229,6 @@ def _mnn_round_body(M, N, method):
         # matmul would re-read the whole [M, M] matrix per precision pass
         Rl = jnp.take(D, jnp.minimum(lead_slots, M - 1), axis=0)
         Rp = jnp.take(D, jnp.minimum(partner_slots, M - 1), axis=0)
-        # one fused [2K, M] selector build (rows 0..K-1 = leaders, K..2K-1 =
-        # partners) so the pair-pair fix below is a single matmul
-        k2 = jnp.arange(2 * K, dtype=jnp.int32)
-        SelLP = jnp.where(
-            (k2 < K)[:, None],
-            (rank[None, :] == k2[:, None]) & leader[None, :],
-            (prank[None, :] == (k2 - K)[:, None]) & dead[None, :],
-        ).astype(jnp.float32)
-        Lsel = SelLP[:K]
         if comb is not None:
             R = comb(Rl, Rp)  # merged cluster k -> every old slot
             # merged-to-merged fix: d(k, k') = comb over k's row at columns
@@ -237,8 +237,8 @@ def _mnn_round_body(M, N, method):
             Clp = _select_rows(R, SelLP.T)  # [K, 2K]
             C = comb(Clp[:, :K], Clp[:, K:])
         else:  # size-weighted average
-            sl = lk[:, 1].astype(jnp.float32)[:, None]
-            sp = pk[:, 1].astype(jnp.float32)[:, None]
+            sl = size_l[:, None]
+            sp = size_p[:, None]
             both = (Rl < _INF) & (Rp < _INF)
             R = jnp.where(both, (sl * Rl + sp * Rp) / jnp.maximum(sl + sp, 1.0),
                           _INF)
@@ -262,13 +262,14 @@ def _mnn_round_body(M, N, method):
                                            jnp.where(dead[None, :], _INF, D))))
         D2 = jnp.where(eye, _INF, D2)
 
-        # cluster_id/active update as pure [M] elementwise ops (each XLA
-        # scatter lowers to a ~20 us serialized while on TPU; size keeps the
-        # one scatter because its new value needs partner data)
+        # cluster_id/active/size updates as pure [M] elementwise ops (each
+        # XLA scatter lowers to a ~20 us serialized while on TPU); the size
+        # increment spreads partner sizes back through the Lsel one-hot
+        size_add = _select_rows(size_p[None, :], Lsel)[0]  # [M], 0 off-leader
         return dict(
             D=D2,
             cluster_id=jnp.where(leader, N + cursor + rank, s["cluster_id"]),
-            size=s["size"].at[lead_slots].set(new_size_k, mode="drop"),
+            size=s["size"] + size_add.astype(jnp.int32),
             active=active & ~dead,
             Z=Z,
             cursor=cursor + n_pairs,
@@ -285,12 +286,11 @@ def _compact(s, half):
     """
     order = jnp.argsort(~s["active"], stable=True).astype(jnp.int32)
     keep = order[:half]
-    # [half, M] one-hot selection: K @ D @ K^T == D[keep][:, keep] exactly
-    # (see _select_rows) without the 2-D dynamic gather
-    M = s["D"].shape[0]
-    K = (keep[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    # two ROW gathers with a transpose between (row gathers read only
+    # half x M; a one-hot matmul re-reads the whole [M, M] per precision
+    # pass, and a direct column gather is stride-hostile on TPU)
     out = dict(
-        D=_select_rows(K, _select_rows(K, s["D"]).T).T,
+        D=jnp.take(jnp.take(s["D"], keep, axis=0).T, keep, axis=0).T,
         cluster_id=s["cluster_id"][keep],
         size=s["size"][keep],
         active=s["active"][keep],

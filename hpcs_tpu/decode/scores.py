@@ -104,16 +104,19 @@ def _iou_matching_score(y_true, y_pred, n_true, c_max, k_max):
     ind = jnp.argmax(iou_mat, axis=1)  # [c_max]
 
     # later true clusters overwrite earlier claims, so the winner for a
-    # predicted cluster p is max{i < n_true : ind[i] == p} — one scatter-max
-    # over [k_max] instead of a fori_loop over c_max
+    # predicted cluster p is max{i < n_true : ind[i] == p}; computed as a
+    # [k_max, c_max] compare-reduce, and the match count pulled straight
+    # from the contingency table — the per-point winner[y_pred] gather this
+    # replaces was 3.3 ms across the vmapped k-sweep (trace round 3)
     i_range = jnp.arange(c_max, dtype=jnp.int32)
-    valid_i = jnp.where(i_range < n_true, i_range, -1)
-    winner = jnp.full((k_max,), -1, jnp.int32).at[ind].max(valid_i)
-    w = winner[y_pred]
-    y_remap = jnp.where(w >= 0, w + 1, 0)
-    eq = jnp.sum((y_remap == y_true + 1).astype(jnp.int32))
+    p_range = jnp.arange(k_max, dtype=jnp.int32)
+    hit = (ind[None, :] == p_range[:, None]) & (i_range[None, :] < n_true)
+    winner = jnp.max(jnp.where(hit, i_range[None, :], -1), axis=1)  # [k_max]
+    # eq = #points whose matched class equals their true class
+    match = winner[None, :] == i_range[:, None]  # [c_max, k_max]
+    eq = jnp.sum(jnp.where(match, cont, 0.0))
     n = y_true.shape[0]
-    return eq.astype(jnp.float32) / jnp.maximum(2 * n - eq, 1).astype(jnp.float32)
+    return eq / jnp.maximum(2 * n - eq, 1.0)
 
 
 @partial(jax.jit, static_argnames=("num_class", "index"))
