@@ -45,6 +45,34 @@ def _select_rows(P, D):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _limb3(x):
+    """Exact 3-limb bf16 split: x == hi + mid + lo bit-for-bit (fp32 has a
+    24-bit mantissa = 3 x 8 bf16 bits; each residual is exactly
+    representable).  Lets one-hot selections run as a SINGLE bf16 MXU pass
+    over a 3x contraction instead of HIGHEST's 6 passes."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _scatter_rows_onehot(Lsel, Rfix):
+    """(Lsel^T @ Rfix, Rfix^T @ Lsel) — the [M, M] scatter-backs of the K
+    merged rows/columns — as single bf16 dots over a 3-limb split of Rfix
+    (exact: 0/1 weights are bf16-exact, each limb is bf16-exact, products
+    accumulate in f32).  Halves the dominant MXU cost at large M vs the
+    HIGHEST-precision form."""
+    hi, mid, lo = _limb3(Rfix)
+    B3 = jnp.concatenate([hi, mid, lo], axis=0)            # [3K, M] bf16
+    A3 = jnp.concatenate([Lsel] * 3, axis=0).astype(jnp.bfloat16)  # [3K, M]
+    scat = jnp.einsum("km,kj->mj", A3, B3,
+                      preferred_element_type=jnp.float32)
+    scatT = jnp.einsum("km,kj->mj", B3, A3,
+                       preferred_element_type=jnp.float32)
+    return scat, scatT
+
+
 def cosine_distance_matrix(x):
     """Pairwise cosine distances 1 - cos(x_i, x_j) (scipy 'cosine' metric)."""
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
@@ -66,6 +94,7 @@ def linkage_from_distances(D, method="complete"):
     """
     N = D.shape[0]
     D = D.astype(jnp.float32)
+    D = 0.5 * (D + D.T)  # exact symmetry (see linkage_from_distances_mnn)
     D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
 
     init = dict(
@@ -144,7 +173,7 @@ def _mnn_round_body(M, N, method):
     """
     slots = jnp.arange(M, dtype=jnp.int32)
     eye = jnp.eye(M, dtype=bool)
-    K = max(64, M // 8)
+    K = max(64, min(M // 8, 256))
     ks = jnp.arange(K, dtype=jnp.int32)
 
     if method == "complete":
@@ -161,9 +190,13 @@ def _mnn_round_body(M, N, method):
         active = s["active"]
         cursor = s["cursor"]
         # min and argmin come out of one reduction pass; the old
-        # take_along_axis for nn_val was a 100 us latency-bound gather
-        nn_idx = jnp.argmin(D, axis=1).astype(jnp.int32)
-        nn_val = jnp.min(D, axis=1)
+        # take_along_axis for nn_val was a 100 us latency-bound gather.
+        # D is exactly symmetric here, so reducing over axis 0 (the major
+        # axis — lanes accumulate over rows, measurably faster on TPU than
+        # the minor-axis reduce) gives identical values AND identical
+        # first-index tie-breaks.
+        nn_idx = jnp.argmin(D, axis=0).astype(jnp.int32)
+        nn_val = jnp.min(D, axis=0)
         # inactive columns hold _INF, so an active row's NN is always an
         # active slot — no active[nn_idx] gather needed.  [M]-indexed
         # gathers are ~65-100 us each on TPU (latency-bound); the nn∘nn
@@ -254,8 +287,9 @@ def _mnn_round_body(M, N, method):
         # cost is the single [M, M] write each
         Rfix = jnp.where(leader[None, :], _select_rows(C, Lsel),
                          jnp.where(dead[None, :], _INF, R))
-        scat = _select_rows(Lsel.T, Rfix)   # [M, M], zero on non-leader rows
-        scatT = _select_rows(Rfix.T, Lsel)  # == scat.T without a transpose copy
+        # [M, M] scatter-backs (zero on non-merged rows); scatT == scat.T
+        # produced by a second dot instead of a transpose copy
+        scat, scatT = _scatter_rows_onehot(Lsel, Rfix)
         D2 = jnp.where(leader[:, None], scat,
                        jnp.where(dead[:, None], _INF,
                                  jnp.where(leader[None, :], scatT,
@@ -320,6 +354,11 @@ def linkage_from_distances_mnn(D, method="complete"):
     """
     N = D.shape[0]
     D = D.astype(jnp.float32)
+    # the round bodies, lazy-column reads and compactions all rely on exact
+    # symmetry; a matmul-built distance matrix is only symmetric to fp32
+    # rounding (both triangles computed independently), which is enough to
+    # make a pair mutual on one side only
+    D = 0.5 * (D + D.T)
     D = jnp.where(jnp.eye(N, dtype=bool), _INF, D)
 
     state = dict(
@@ -349,15 +388,28 @@ def linkage_from_distances_mnn(D, method="complete"):
             return s
         return wrapped
 
+    # NEGATIVE RESULT (round 3, measured): an O(K*M)-per-round "lazy
+    # columns + carried nn" body is SLOWER than this full-update body at
+    # every size (41 vs 19 ms at N=1024/B=16, 611 vs 389 ms at N=4096/B=8)
+    # because reading K scattered COLUMNS of a row-major [M, M] touches
+    # every row's cache lines — a column gather is a full-matrix read at
+    # best, and XLA's gather runs 3-4x below even that floor.  Large N is
+    # served instead by a finer compaction ladder (below).
     M = N
-    while M > _MIN_STAGE:  # static (python) cascade over halving sizes
-        M_next = max(_MIN_STAGE, (M + 1) // 2)
+    while M > _MIN_STAGE:  # static (python) cascade: 3/4 steps while the
+        # matrix is large (rounds merge a roughly constant number of pairs,
+        # so cost concentrates in the biggest stages), halving below 1024
+        if M >= 2048:
+            M_next = max(_MIN_STAGE, (3 * M + 3) // 4)
+        else:
+            M_next = max(_MIN_STAGE, (M + 1) // 2)
 
         def cond(s, _target=M_next):
             return (s["cursor"] < N - 1) & (s["rounds"] < N) & (
                 jnp.sum(s["active"].astype(jnp.int32)) > _target)
 
-        state = jax.lax.while_loop(cond, _bounded(_mnn_round_body(M, N, method)), state)
+        state = jax.lax.while_loop(
+            cond, _bounded(_mnn_round_body(M, N, method)), state)
         state = _compact(state, M_next)
         M = M_next
 

@@ -44,6 +44,62 @@ def test_linkage_matches_scipy_distances(method):
     np.testing.assert_array_equal(np.sort(Z[:, 3]), np.sort(Zs[:, 3]))
 
 
+def _both_linkages_same_distances(x, method):
+    """(ours, scipy) linkage fed the SAME fp32 distance matrix.  Tight fp32
+    clusters contain exactly-zero cosine distances that scipy's float64
+    metric computation would not produce (and jit fusion can shift distance
+    bits vs an eager call), so both sides must consume one shared matrix to
+    compare the agglomeration itself."""
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from scipy.spatial.distance import squareform
+
+    from hpcs_tpu.decode.linkage import (
+        cosine_distance_matrix,
+        linkage_from_distances_mnn,
+    )
+
+    D = np.asarray(cosine_distance_matrix(x), np.float32)
+    D = np.float32(0.5) * (D + D.T)
+    ours = np.asarray(linkage_from_distances_mnn(jnp.asarray(D), method=method))
+    D64 = D.astype(np.float64)
+    np.fill_diagonal(D64, 0.0)
+    ref = scipy_linkage(squareform(D64, checks=False), method=method)
+    return ours, ref
+
+
+@pytest.mark.parametrize("method", ["complete", "single"])
+def test_linkage_matches_scipy_large_n(method):
+    """N=600 exercises multiple compaction stages of the MNN cascade
+    (600 -> 300 -> ...), including the K-capped merge bookkeeping and the
+    compaction transitions — the small-N tests never leave stage one."""
+    # spread 0.3: tight clusters collapse many fp32 cosine distances to
+    # exactly 0, making merge order (and thus size multisets) tie-ambiguous
+    x, _ = _clustered_points(jax.random.fold_in(KEY, 77), n_clusters=12,
+                             per=50, d=8, spread=0.3)
+    Z, Zs = _both_linkages_same_distances(x, method)
+    np.testing.assert_allclose(np.sort(Z[:, 2]), np.sort(Zs[:, 2]), atol=2e-6)
+    np.testing.assert_array_equal(np.sort(Z[:, 3]), np.sort(Zs[:, 3]))
+    # flat cuts agree as partitions at every k the decode sweep uses
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    for k in (2, 5, 12):
+        got = np.asarray(cut_maxclust(Z, jnp.int32(k)))
+        want = cut_maxclust_host(Zs, k)
+        assert adjusted_rand_score(got, want) == pytest.approx(1.0), (method, k)
+
+
+@pytest.mark.slow
+def test_linkage_matches_scipy_n1200_multi_stage():
+    """N=1200 runs several consecutive compaction stages, so the
+    compact-then-continue transitions at realistic decode sizes are
+    covered too (1024-point clouds decode through this path)."""
+    x, _ = _clustered_points(jax.random.fold_in(KEY, 78), n_clusters=30,
+                             per=40, d=8, spread=0.3)
+    Z, Zs = _both_linkages_same_distances(x, "complete")
+    np.testing.assert_allclose(np.sort(Z[:, 2]), np.sort(Zs[:, 2]), atol=2e-6)
+    np.testing.assert_array_equal(np.sort(Z[:, 3]), np.sort(Zs[:, 3]))
+
+
 @pytest.mark.parametrize("k", [1, 2, 3, 4, 6])
 def test_cut_maxclust_matches_scipy(k):
     from sklearn.metrics.cluster import adjusted_rand_score
