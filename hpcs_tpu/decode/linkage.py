@@ -74,9 +74,34 @@ def _scatter_rows_onehot(Lsel, Rfix):
 
 
 def cosine_distance_matrix(x):
-    """Pairwise cosine distances 1 - cos(x_i, x_j) (scipy 'cosine' metric)."""
+    """Pairwise cosine distances 1 - cos(x_i, x_j) (scipy 'cosine' metric).
+
+    Computed as ||x̂_i - x̂_j||² / 2 (identical in exact arithmetic) rather
+    than 1 - x̂_i·x̂_j: the matmul form cancels catastrophically for
+    near-parallel embeddings — every distance below ulp(1) ≈ 6e-8 rounds to
+    a handful of quantized values (measured on an untrained flagship: 39% of
+    entries exactly 0.0, and the surviving quantized grid made one cluster
+    the nearest neighbor of 271 others, collapsing MNN linkage to ~2 merges
+    per round).  The difference form keeps full fp32 RELATIVE precision at
+    small distances, so near-parallel points stay distinct and the NN graph
+    keeps its true local geometry.  Exactly symmetric by construction (both
+    triangles square the same differences).  The O(N²F) elementwise work is
+    chunked to bound the [chunk, N, F] broadcast at ~16 MB.
+    """
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+    N, F = xn.shape
+    target = max(1, (1 << 22) // max(N * F, 1))
+    chunk = next((c for c in range(min(target, N), 0, -1) if N % c == 0), N)
+    if chunk >= N:
+        diff = xn[:, None, :] - xn[None, :, :]
+        D = 0.5 * jnp.sum(diff * diff, axis=-1)
+    else:
+        blocks = xn.reshape(N // chunk, chunk, F)
+        D = jax.lax.map(
+            lambda blk: 0.5 * jnp.sum((blk[:, None, :] - xn[None, :, :]) ** 2, -1),
+            blocks,
+        ).reshape(N, N)
+    return jnp.clip(D, 0.0, 2.0)
 
 
 def euclidean_distance_matrix(x):
@@ -189,14 +214,36 @@ def _mnn_round_body(M, N, method):
         D = s["D"]
         active = s["active"]
         cursor = s["cursor"]
-        # min and argmin come out of one reduction pass; the old
-        # take_along_axis for nn_val was a 100 us latency-bound gather.
         # D is exactly symmetric here, so reducing over axis 0 (the major
         # axis — lanes accumulate over rows, measurably faster on TPU than
-        # the minor-axis reduce) gives identical values AND identical
-        # first-index tie-breaks.
-        nn_idx = jnp.argmin(D, axis=0).astype(jnp.int32)
+        # the minor-axis reduce) gives identical values to a row reduce.
         nn_val = jnp.min(D, axis=0)
+        # EXACT-TIE break by a symmetric hash of the two cluster ids,
+        # consulted only where D bit-equals the row min.  Real (especially
+        # early-training) embeddings are near-parallel, so fp32 cosine
+        # distances quantize: measured on an untrained flagship, 39% of
+        # off-diagonal entries are exactly 0.0 and 1019/1024 rows have tied
+        # minima.  First-index argmin then makes every tied row point at the
+        # lowest tied slot — a star whose mutual-NN graph has ONE edge, i.e.
+        # one merge per round (measured: 500 rounds vs 34 on tie-free data).
+        # A pseudo-random tie order makes tied nodes pair up like a random
+        # NN graph (~1/3 of nodes merge per round).  Tie-free comparisons
+        # never consult the hash, so scipy-equality on distinct-distance
+        # data is bit-for-bit unchanged; on tied data any consistent order
+        # is a valid linkage (equal heights).  Fresh merged ids draw fresh
+        # hashes, which keeps the order consistent ACROSS rounds too: a
+        # merged cluster m has d(i,m) >= d(i, its children), so an unmerged
+        # mutual pair stays i's nearest by distance, and equal-distance
+        # preference is re-drawn — either choice is an equal-height merge.
+        ids = s["cluster_id"].astype(jnp.uint32)
+        hsum = (ids[None, :] + ids[:, None]) * jnp.uint32(0x9E3779B1)
+        hprod = (ids[None, :] * ids[:, None]) * jnp.uint32(0x85EBCA77)
+        h = hsum ^ hprod
+        h = h ^ (h >> 13)
+        tie = D == nn_val[None, :]
+        nn_idx = jnp.argmin(
+            jnp.where(tie, h, jnp.uint32(0xFFFFFFFF)), axis=0
+        ).astype(jnp.int32)
         # inactive columns hold _INF, so an active row's NN is always an
         # active slot — no active[nn_idx] gather needed.  [M]-indexed
         # gathers are ~65-100 us each on TPU (latency-bound); the nn∘nn
