@@ -1,4 +1,5 @@
 from .data_parallel import (
+    make_data_parallel_epoch_fn,
     make_data_parallel_test_step,
     make_data_parallel_train_step,
     make_mesh,
@@ -8,6 +9,7 @@ from .data_parallel import (
 from .point_parallel import make_mesh_2d, make_point_sharded_forward
 
 __all__ = [
+    "make_data_parallel_epoch_fn",
     "make_data_parallel_test_step",
     "make_data_parallel_train_step",
     "make_mesh",

@@ -95,8 +95,16 @@ def _make_fused_epoch(system):
 
 def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
         seed=0, log_dir="logs", run_name="run", logger: MetricLogger = None,
-        ckpt_dir=None, resume=None, train_step_fn=None, state=None):
-    """Train with early stopping; returns (state, best_val_loss)."""
+        ckpt_dir=None, resume=None, train_step_fn=None, epoch_fn=None,
+        state=None):
+    """Train with early stopping; returns (state, best_val_loss).
+
+    `epoch_fn(state, key, stacked, gs0, temperature) -> (state, key, logs)`
+    fuses a whole stacked epoch in one dispatch.  Pass the one built by
+    parallel.make_data_parallel_epoch_fn alongside a data-parallel
+    `train_step_fn` (which still handles ragged tails and un-stackable
+    epochs); when neither is given the single-device fused epoch is built
+    automatically."""
     key = jax.random.PRNGKey(seed)
     own_logger = logger is None
     if logger is None:
@@ -113,11 +121,14 @@ def fit(system: HypHCSystem, train_loader, valid_loader, *, epochs, patience=50,
     ever_improved = False  # without a finite val_loss, return the LAST
     # trained state — returning the initial `best_state` would silently save
     # untrained weights (empty valid loader via drop_last, or NaN val_loss)
-    # fused (one-dispatch) epochs: only for the plain single-device step —
-    # DP steps shard batches explicitly; HPCS_TPU_FUSED_EPOCH=0 disables
-    fused_epoch = (train_step_fn is None
-                   and os.environ.get("HPCS_TPU_FUSED_EPOCH", "1") != "0")
-    epoch_fn = _make_fused_epoch(system) if fused_epoch else None
+    # fused (one-dispatch) epochs: built automatically for the plain
+    # single-device step; a DP caller passes the matching shard_map epoch fn
+    # (parallel.make_data_parallel_epoch_fn).  HPCS_TPU_FUSED_EPOCH=0 disables.
+    if os.environ.get("HPCS_TPU_FUSED_EPOCH", "1") == "0":
+        epoch_fn = None
+    elif epoch_fn is None and train_step_fn is None:
+        epoch_fn = _make_fused_epoch(system)
+    fused_epoch = epoch_fn is not None
     best_val = float("inf")
     best_state = state
     bad_epochs = 0

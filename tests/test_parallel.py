@@ -180,3 +180,47 @@ def test_dp_test_step_matches_single_device():
     # metric-loss part only agrees statistically
     np.testing.assert_allclose(float(logs_dp["test_loss"]),
                                float(logs_s["test_loss"]), rtol=0.1)
+
+
+def test_fused_dp_epoch_matches_stepped_dp():
+    """lax.scan of the shard_map DP step over a stacked epoch must reproduce
+    the per-step DP loop state-for-state (same fold_in(key, gs+1) walk)."""
+    from hpcs_tpu.parallel import make_data_parallel_epoch_fn
+
+    system = _system()
+    mesh = make_mesh(8)
+    state0 = system.init(KEY, _batch(8))
+    step = make_data_parallel_train_step(system, mesh=mesh)
+    epoch_fn = make_data_parallel_epoch_fn(system, mesh=mesh)
+
+    ds = SyntheticPartDataset(num_objects=24, npoints=64, num_categories=2,
+                              parts_per_object=3, seed=3)
+    batches = list(DataLoader(ds, 8, drop_last=True))
+    temp = jnp.float32(0.1)
+
+    # stepped reference
+    key = KEY
+    state_ref = state0
+    gs = 0
+    for b in batches:
+        key = jax.random.fold_in(key, gs + 1)
+        state_ref, logs_ref = step(state_ref, shard_batch(mesh, b), key, temp)
+        gs += 1
+
+    # fused
+    stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    state_fused, key_fused, logs = epoch_fn(
+        state0, KEY, stacked, jnp.int32(0), temp)
+
+    assert logs["total_loss"].shape[0] == len(batches)
+    np.testing.assert_array_equal(np.asarray(key_fused), np.asarray(key))
+    for path, a in jax.tree_util.tree_leaves_with_path(state_ref.params):
+        b = dict(jax.tree_util.tree_leaves_with_path(state_fused.params))[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0,
+            err_msg=f"params diverged at {jax.tree_util.keystr(path)}")
+    np.testing.assert_array_equal(
+        np.asarray(state_ref.step), np.asarray(state_fused.step))
+    # params must also remain replicated across devices after the fused epoch
+    _assert_replicated(state_fused.params["cosface_W"], "cosface_W@fused")

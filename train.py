@@ -43,14 +43,23 @@ def main():
     ckpt_dir = os.path.join(args.log, run_name, "checkpoints")
 
     train_step_fn = None
+    epoch_fn = None
     if args.data_parallel != 1:
         import jax
 
         n_dev = args.data_parallel or len(jax.devices())
         if n_dev > 1 and args.batch % n_dev == 0:
-            from hpcs_tpu.parallel import make_data_parallel_train_step
+            from hpcs_tpu.parallel import (
+                make_data_parallel_epoch_fn,
+                make_data_parallel_train_step,
+                make_mesh,
+            )
 
-            train_step_fn = make_data_parallel_train_step(system, n_dev)
+            mesh = make_mesh(n_dev)
+            train_step_fn = make_data_parallel_train_step(system, mesh=mesh)
+            # fused one-dispatch epochs over the same mesh (ragged tails and
+            # un-stackable epochs fall back to train_step_fn per step)
+            epoch_fn = make_data_parallel_epoch_fn(system, mesh=mesh)
             print(f"data-parallel over {n_dev} devices")
 
     state = None
@@ -106,7 +115,7 @@ def main():
             epochs=args.epochs, patience=args.patience, seed=args.seed,
             log_dir=args.log, run_name=run_name, logger=logger,
             ckpt_dir=ckpt_dir, resume=args.resume or None,
-            train_step_fn=train_step_fn, state=state,
+            train_step_fn=train_step_fn, epoch_fn=epoch_fn, state=state,
         )
         print("End Training")
         save_checkpoint(os.path.join(ckpt_dir, "final"), state, system.cfg)
