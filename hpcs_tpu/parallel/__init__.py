@@ -6,7 +6,12 @@ from .data_parallel import (
     replicate,
     shard_batch,
 )
-from .point_parallel import make_mesh_2d, make_point_sharded_forward
+from .point_parallel import (
+    make_mesh_2d,
+    make_point_sharded_forward,
+    make_point_sharded_train_step,
+    shard_points_batch,
+)
 
 __all__ = [
     "make_data_parallel_epoch_fn",
@@ -15,6 +20,8 @@ __all__ = [
     "make_mesh",
     "make_mesh_2d",
     "make_point_sharded_forward",
+    "make_point_sharded_train_step",
+    "shard_points_batch",
     "replicate",
     "shard_batch",
 ]

@@ -59,3 +59,39 @@ def test_point_sharded_output_sharding():
     # the result stays sharded: batch over data, points over points
     spec = xe.sharding.spec
     assert tuple(spec) == ("data", "points", None) or tuple(spec)[:2] == ("data", "points")
+
+
+def test_point_sharded_train_step_matches_unsharded():
+    """Grads/params from the (data, points)-sharded FULL train step must
+    match the unsharded step to XLA reduction-order tolerance — same PRNG
+    keys draw the same global triplet set on every device."""
+    from hpcs_tpu.parallel import (
+        make_mesh_2d,
+        make_point_sharded_train_step,
+        shard_points_batch,
+    )
+
+    system, state, batch, _ = _system()
+    temp = jnp.float32(0.1)
+
+    from hpcs_tpu.ops.knn import force_xla_knn
+
+    with force_xla_knn():  # both sides on the XLA kNN for bit-compatibility
+        ref_state, ref_logs = jax.jit(system.train_step)(state, batch, KEY, temp)
+        jax.block_until_ready(ref_state.params)
+
+        for shape in ((1, 8), (2, 4)):
+            mesh = make_mesh_2d(*shape)
+            step = make_point_sharded_train_step(system, mesh)
+            sb = shard_points_batch(mesh, batch)
+            new_state, logs = step(state, sb, KEY, temp)
+            np.testing.assert_allclose(
+                float(logs["total_loss"]), float(ref_logs["total_loss"]),
+                rtol=2e-5, err_msg=f"loss diverged on mesh {shape}")
+            ref_leaves = dict(jax.tree_util.tree_leaves_with_path(ref_state.params))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(new_state.params):
+                np.testing.assert_allclose(
+                    np.asarray(leaf), np.asarray(ref_leaves[path]),
+                    atol=5e-5, rtol=5e-4,
+                    err_msg=f"params diverged at {jax.tree_util.keystr(path)} "
+                            f"on mesh {shape}")
