@@ -101,22 +101,6 @@ def measure_tpu(batch_sizes=(8, 16, 32)):
         )
         return jnp.sum(out)
 
-    @jax.jit
-    def fused_loop(params, batch_stats, points, dv):
-        """Same device loop through the fused inference engine
-        (hpcs_tpu.models.inference: Pallas EdgeConv + folded BN)."""
-        from hpcs_tpu.models.inference import vn_dgcnn_fast_forward
-
-        def body(i, carry):
-            pts = points + (i.astype(jnp.float32) * 1e-12) * carry[..., :1]
-            _, x_poincare = vn_dgcnn_fast_forward(params, batch_stats, pts, dv, K)
-            return carry + x_poincare.mean(axis=(1, 2), keepdims=True)
-
-        out = jax.lax.fori_loop(
-            0, LOOP, body, jnp.zeros((points.shape[0], 1, 1), jnp.float32)
-        )
-        return jnp.sum(out)
-
     best = 0.0
     best_batch = 0
     best_path = "flax"
@@ -127,9 +111,18 @@ def measure_tpu(batch_sizes=(8, 16, 32)):
                  "category": jnp.zeros((B,), jnp.int32)}
         state = system.init(key, batch)
         points = batch["points"]
+        # serving paths only.  The fused Pallas EdgeConv engine is RETIRED
+        # from this comparison (VERDICT r2 #2, decision recorded in
+        # hpcs_tpu/models/inference.py): it measured 3.9x SLOWER than the
+        # flax graph (340-356 vs 1328 clouds/s, BENCH_r02), Mosaic cannot
+        # lower in-kernel gathers so a kernel must do the same one-hot
+        # matmuls XLA already emits, and the kernel won its own XLA stage by
+        # only ~1.1x while pinning fp32-HIGHEST.  It remains parity-tested
+        # as the kernel harness (tests/test_inference_engine.py); the Pallas
+        # kNN kernel DOES win (47 vs 100 ms at N=4096) and serves via
+        # knn_auto inside both flax paths below.
         for path, loop_fn in (("flax", forward_loop),
-                              ("flax-bf16", forward_loop_bf16),
-                              ("fused", fused_loop)):
+                              ("flax-bf16", forward_loop_bf16)):
             try:
                 # warmup + compile; float() is a completion barrier even where
                 # block_until_ready does not synchronize (axon tunnel)

@@ -1,13 +1,25 @@
-"""Fused inference engine for the flagship VN-DGCNN.
+"""Fused inference engine for the flagship VN-DGCNN — KERNEL HARNESS ONLY.
 
-Consumes the exact parameter pytree of HypHCNet and reproduces
-net.apply(train=False) numerically, but routes the hot path through Pallas:
-kNN via the fused score/top-k kernel and each EdgeConv stage through the
-in-VMEM gather+conv+pool kernel, with every BatchNorm folded into an affine.
-Parity-tested against the flax graph (tests/test_inference_engine.py) and
-benchmarked alongside it by bench.py; the flax graph remains the default
-serving path (the fused EdgeConv kernel is env-gated on real TPU, see
-ops/pallas/edgeconv_pallas.py).
+RETIRED from serving (round-3 decision, VERDICT r2 #2: "win or retire").
+Measured verdict on v5e, flagship shapes (B=16, N=1024, k=20):
+
+- this engine: 340-356 clouds/s at every batch size vs the flax graph's
+  826 (fp32) / 1328 (bf16) — 3.9x SLOWER end-to-end (BENCH_r02);
+- the fused EdgeConv kernel beat its own XLA stage by only ~1.1x, while
+  pinning fp32-HIGHEST with no bf16 path and no batch scaling;
+- the structural reason it cannot win: Mosaic does not lower jnp.take /
+  int-array indexing / take_along_axis inside kernels (tested on v5e,
+  PLAN.md round-2), so in-kernel neighbor selection must be the same
+  one-hot MXU matmuls XLA already emits for gather_neighbors — a kernel
+  can only fuse the elementwise glue, which XLA's own fusions already
+  cover (the forward trace's residue is a long tail of ~0.3 ms fusions).
+
+What DOES serve from the Pallas work: the kNN score/top-k kernel (47 vs
+100 ms at N=4096/B=8) via knn_auto inside the flax graph.
+
+This module stays as the parity harness proving the kernels compute the
+right thing (tests/test_inference_engine.py) and as the BN-folding
+reference; bench.py no longer reports it as a serving path.
 """
 import jax
 import jax.numpy as jnp

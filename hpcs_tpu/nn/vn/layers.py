@@ -32,11 +32,13 @@ from flax import linen as nn
 EPS = 1e-6
 
 # fp32 matmul emulation depth on the MXU (bf16 passes): "highest" = 6-pass
-# bit-exact fp32; "high" = 3-pass (~1e-6 relative); "default" = single-pass
-# bf16 (~1e-3).  Measured on v5e (B=16, N=1024): end-to-end SO(3) invariance
-# is 3.9e-2 at BOTH high and highest (and 4.5e-2 at default) — the residual
-# is dominated by genuine kNN near-tie graph flips under rotation, not by
-# matmul rounding — while high is ~6% faster than highest.  Default: high.
+# (~fp32-accurate, different rounding realization from fused-fma); "high" =
+# 3-pass (~1e-6 relative); "default" = single-pass bf16 (~1e-3).  Measured
+# on v5e with the rotation-application fix (round 3, B=4/N=512): end-to-end
+# SO(3) max deviation 2.2e-4 at highest vs 2.9-4e-4 at high, kNN graph 100%
+# stable under rotation either way; the residual is fp32 cross-product
+# cancellation at the input lift + head amplification, not graph flips
+# (benchmarks/so3_residual_probe.py).  high is ~6% faster; default: high.
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,

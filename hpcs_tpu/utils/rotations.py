@@ -37,8 +37,17 @@ def random_z(key, batch):
 
 
 def rotate_cloud(points, R):
-    """points [B, N, 3] x R [B, 3, 3] -> rotated clouds."""
-    return jnp.einsum("bnv,bwv->bnw", points, R)
+    """points [B, N, 3] x R [B, 3, 3] -> rotated clouds.
+
+    HIGHEST precision is load-bearing: at the TPU default (single-pass bf16)
+    the APPLIED rotation quantizes coordinates by ~4e-3 relative — the
+    'rotated' cloud is genuinely different geometry, and ~12% of kNN rows
+    flip neighbors (measured, and confirmed by a float64 oracle flipping the
+    SAME rows: benchmarks/so3_residual_probe.py).  That — not kNN scoring —
+    was the round-2 'TPU SO(3) residual'.  The contraction dim is 3, so the
+    exact pass costs nothing."""
+    return jnp.einsum("bnv,bwv->bnw", points, R,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def augment(key, points, mode: str):

@@ -87,17 +87,21 @@ def main():
           f"({devs[-1] / scale * 100:.4f}% relative)")
     print(f"median abs deviation: {devs[len(devs) // 2]:.3e}")
     print(f"kNN graph stability: {min(graph_same) * 100:.2f}% identical neighbor sets")
-    # The VN layer stack is exactly equivariant; residual deviation comes from
-    # kNN tie flips on geometrically near-equidistant neighbors (fp32-exact on
-    # CPU; on TPU the fp32 noise floor flips a few percent of near-ties; bf16
-    # widens it further).
+    # The VN layer stack is exactly equivariant; the fp32 residual is fp32
+    # cross-product cancellation at the input lift (ill-conditioned for
+    # near-parallel vectors on every backend) realized differently by TPU's
+    # bf16-limb matmuls than by fused-fma backends, plus ~40x amplification
+    # through the wide head.  Measured (B=4, N=512): CPU 5.2e-8, TPU 2.2e-4
+    # at HIGHEST / ~4e-4 at HIGH — with ZERO kNN graph flips under rotation
+    # (root-cause evidence: benchmarks/so3_residual_probe.py; round-2's
+    # 3.9e-2 was the test rotation itself applied in bf16).
     backend = jax.default_backend()
     if args.bf16 or cfg.bf16:
         rel_tol = 0.15
     elif backend == "cpu":
         rel_tol = 2e-3
     else:
-        rel_tol = 0.03
+        rel_tol = 8e-3
     verdict = "PASS" if devs[-1] < rel_tol * scale else "FAIL"
     print(f"invariance ({backend}, rel tolerance {rel_tol}): {verdict}")
     return 0 if verdict == "PASS" else 1
