@@ -86,7 +86,8 @@ def show(tag, D):
 
 
 def main():
-    N = 1024
+    import sys
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     key = jax.random.PRNGKey(0)
 
     # clustered microbench data (8 tight clusters in 8-D)
@@ -109,9 +110,9 @@ def main():
         t_per_anchor=20, num_triplets=4096, temperature=0.1,
     )
     system = HypHCSystem(cfg)
-    ds = SyntheticPartDataset(num_objects=8, npoints=N, num_categories=16,
+    ds = SyntheticPartDataset(num_objects=4, npoints=N, num_categories=16,
                               parts_per_object=6, seed=5)
-    batch = {k: jnp.asarray(v) for k, v in next(iter(DataLoader(ds, 8))).items()}
+    batch = {k: jnp.asarray(v) for k, v in next(iter(DataLoader(ds, 4))).items()}
     state = system.init(jax.random.PRNGKey(0), batch)
     dv = decode_vector_for_batch(cfg, batch)
     _, x_p, _ = jax.jit(lambda p, bs, pts: system._apply(p, bs, pts, dv, False))(

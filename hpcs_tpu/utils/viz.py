@@ -39,10 +39,44 @@ def _pca2(x):
     return x @ vt[:2].T
 
 
+def _tangent_project2(emb):
+    """Hyperbolic-aware 2-D reduction of ball embeddings: logmap at the
+    origin (ball -> tangent space, where hyperbolic distances from o are
+    Euclidean radii), PCA to 2-D there, expmap back onto the disk.
+
+    Replaces the reference's hyperboloid-UMAP panel (viz.py:217-248) when
+    umap-learn is absent: unlike raw coordinate PCA, the radial (depth)
+    structure of the embedding — the quantity the HypHC loss organizes —
+    survives the projection exactly.  With umap-learn installed the
+    reference's hyperboloid UMAP layout is used instead."""
+    emb = np.asarray(emb, np.float64)
+    r = np.linalg.norm(emb, axis=1, keepdims=True)
+    r = np.clip(r, 1e-12, 1 - 1e-7)
+    tangent = np.arctanh(r) * emb / r  # logmap_0, c=1 (factor 2 irrelevant to PCA)
+    try:  # optional: the reference's hyperboloid UMAP when available
+        import umap  # noqa: F401
+
+        z = np.sqrt(1 + np.sum(tangent ** 2, axis=1, keepdims=True))
+        hyperboloid = np.concatenate([tangent, z], axis=1)
+        xy = umap.UMAP(output_metric="hyperboloid",
+                       random_state=0).fit_transform(hyperboloid)
+    except Exception:
+        # UNcentered SVD: the tangent space's origin is the ball origin, so
+        # centering (plain PCA) would destroy the radial depth structure
+        _, _, vt = np.linalg.svd(tangent, full_matrices=False)
+        xy = tangent @ vt[:2].T
+    # expmap_0 of the 2-D tangent layout back into the disk
+    tn = np.linalg.norm(xy, axis=1, keepdims=True)
+    tn = np.maximum(tn, 1e-12)
+    return np.tanh(tn) * xy / tn
+
+
 def plot_poincare_disk(ax, emb, labels, title="Poincare disk"):
-    """2-D (PCA if dim > 2) projection of ball embeddings inside the unit disk."""
+    """2-D projection of ball embeddings inside the unit disk (tangent-space
+    PCA, or hyperboloid UMAP when umap-learn is installed; radii shown are
+    the TRUE per-point ball radii either way)."""
     emb = np.asarray(emb)
-    xy = emb[:, :2] if emb.shape[1] == 2 else _pca2(emb)
+    xy = emb[:, :2] if emb.shape[1] == 2 else _tangent_project2(emb)
     n = np.linalg.norm(xy, axis=1, keepdims=True)
     r = np.linalg.norm(np.asarray(emb), axis=1, keepdims=True)
     xy = np.where(n > 0, xy / n * r, xy)  # keep true radii
@@ -99,3 +133,22 @@ def plot_hyperbolic_eval(x, y, y_pred, emb_hidden, emb_poincare, linkage_matrix,
     if not show:
         plt.close(fig)
     return fig
+
+
+def get_linkage(model, **kwargs):
+    """scipy linkage matrix from a fitted sklearn AgglomerativeClustering
+    model (needs `compute_distances=True`).
+
+    Reference: /root/reference/hpcs/utils/viz.py:526-543.  Counts of leaves
+    under each merge come from one bottom-up pass (children rows only
+    reference earlier rows).  Returns [Z] like the reference.
+    """
+    children = np.asarray(model.children_)
+    n_samples = len(model.labels_)
+    counts = np.zeros(children.shape[0])
+    for i, (a, b) in enumerate(children):  # rows reference earlier rows only
+        counts[i] = (1 if a < n_samples else counts[a - n_samples]) + (
+            1 if b < n_samples else counts[b - n_samples])
+    Z = np.column_stack([children, np.asarray(model.distances_), counts]
+                        ).astype(float)
+    return [Z]

@@ -55,3 +55,45 @@ def test_test_loop_with_plot_dir(tmp_path):
     assert "score" in out
     pngs = os.listdir(tmp_path / "p")
     assert len(pngs) == 2  # one per object in the batch
+
+
+def test_get_linkage_matches_scipy_cuts():
+    """get_linkage on a fitted sklearn model must cut identically to scipy
+    linkage on the same data (reference viz.py:526-543 round-trip)."""
+    import numpy as np
+    from scipy.cluster.hierarchy import fcluster
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from sklearn.cluster import AgglomerativeClustering
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    from hpcs_tpu.utils.viz import get_linkage
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(40, 4)
+    model = AgglomerativeClustering(
+        linkage="complete", compute_distances=True).fit(x)
+    (Z,) = get_linkage(model)
+    assert Z.shape == (39, 4)
+    Zs = scipy_linkage(x, method="complete", metric="euclidean")
+    np.testing.assert_allclose(np.sort(Z[:, 2]), np.sort(Zs[:, 2]), rtol=1e-9)
+    np.testing.assert_array_equal(np.sort(Z[:, 3]), np.sort(Zs[:, 3]))
+    for k in (2, 3, 6):
+        a = fcluster(Z, k, criterion="maxclust")
+        b = fcluster(Zs, k, criterion="maxclust")
+        assert adjusted_rand_score(a, b) == 1.0
+
+
+def test_tangent_projection_preserves_radii_order():
+    """The hyperbolic-aware disk projection stays in the unit disk and keeps
+    the tangent-space PCA plane's radial ORDER for points along one axis."""
+    import numpy as np
+
+    from hpcs_tpu.utils.viz import _tangent_project2
+
+    r = np.linspace(0.05, 0.95, 10)
+    emb = np.zeros((10, 6))
+    emb[:, 0] = r  # increasing depth along one direction
+    xy = _tangent_project2(emb)
+    rad = np.linalg.norm(xy, axis=1)
+    assert np.all(rad < 1.0)
+    assert np.all(np.diff(rad) > 0)
