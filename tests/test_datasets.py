@@ -194,3 +194,48 @@ def test_prefetch_loader_propagates_worker_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(DataLoader(Boom(), 2, num_workers=2))
+
+
+def test_mini_dataset_generator_roundtrip(tmp_path):
+    """tools/make_mini_datasets.py writes layouts the real readers load:
+    ShapeNet txt tree (synset dirs, split jsons, 7-col rows) and PartNet h5 +
+    after_merging_label_ids (num_class = level lines + 1 like the CLI)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    root = tmp_path / "data"
+    subprocess.run(
+        [sys.executable, "tools/make_mini_datasets.py", str(root)],
+        check=True, capture_output=True)
+
+    from hpcs_tpu.data.hierarchy import get_hierarchy_list
+    from hpcs_tpu.data.partnet import PartNetDataset
+    from hpcs_tpu.data.shapenet import ShapeNetDataset
+
+    sn = ShapeNetDataset(str(root / "ShapeNet" / "raw"), npoints=256,
+                         split="train")
+    assert len(sn) == 6  # 3 per category x 2 categories
+    pts, cls, seg = sn[0]
+    assert pts.shape == (256, 3) and seg.shape == (256,)
+    # labels must come from the category's global seg-class table
+    cap = ShapeNetDataset(str(root / "ShapeNet" / "raw"), npoints=256,
+                          split="test", class_choice="Cap")
+    _, _, seg_cap = cap[0]
+    assert set(np.unique(seg_cap)) <= {6, 7}
+
+    pn = PartNetDataset(
+        str(root / "PartNet" / "sem_seg_h5" / "Bottle-3" / "train_files.txt"),
+        npoints=256)
+    assert len(pn) == 4
+    p, ls = pn[0]
+    assert p.shape == (256, 3) and set(np.unique(ls)) <= set(range(1, 9))
+
+    with open(root / "PartNet" / "after_merging_label_ids"
+              / "Bottle-level-3.txt") as f:
+        assert len(f.readlines()) + 1 == 9  # reference Bottle num_class
+
+    hl = get_hierarchy_list(
+        str(root / "PartNet" / "after_merging_label_ids"), "Bottle", [1, 3])
+    assert len(hl) == 2 and len(hl[1]) == 8  # level 3: one branch per leaf
