@@ -239,7 +239,10 @@ def _mnn_round_body(M, N, method):
         hsum = (ids[None, :] + ids[:, None]) * jnp.uint32(0x9E3779B1)
         hprod = (ids[None, :] * ids[:, None]) * jnp.uint32(0x85EBCA77)
         h = hsum ^ hprod
-        h = h ^ (h >> 13)
+        # top bit cleared so a candidate can never collide with the
+        # non-candidate sentinel (a collision would let argmin pick a
+        # non-tied row as NN — wrong partner at the recorded min distance)
+        h = (h ^ (h >> 13)) & jnp.uint32(0x7FFFFFFF)
         tie = D == nn_val[None, :]
         nn_idx = jnp.argmin(
             jnp.where(tie, h, jnp.uint32(0xFFFFFFFF)), axis=0
