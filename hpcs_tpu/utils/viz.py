@@ -107,11 +107,14 @@ def plot_dendrogram(ax, Z, max_leaves=64, title="dendrogram"):
 
 
 def plot_hyperbolic_eval(x, y, y_pred, emb_hidden, emb_poincare, linkage_matrix,
-                         k=None, score=None, screenshot=None, show=False):
+                         k=None, score=None, screenshot=None, show=False,
+                         embedding_method="pca"):
     """5-panel evaluation figure; returns the figure (saved when `screenshot`).
 
     x: [N, 3] points; y/y_pred: [N] labels; emb_hidden: [N, De];
     emb_poincare: [N, Dh]; linkage_matrix: [N-1, 4].
+    embedding_method: 'pca' (default — seconds faster per object) or 'tsne'
+    (the reference's euclidean-embedding panel, viz.py:201-214).
     """
     fig = plt.figure(figsize=(18, 4))
     ax1 = fig.add_subplot(1, 5, 1, projection="3d")
@@ -120,9 +123,18 @@ def plot_hyperbolic_eval(x, y, y_pred, emb_hidden, emb_poincare, linkage_matrix,
     sub = f" (k={int(k)}, iou={float(score):.3f})" if k is not None else ""
     plot_cloud(ax2, x, y_pred, title="prediction" + sub)
     ax3 = fig.add_subplot(1, 5, 3)
-    h2 = _pca2(emb_hidden) if np.asarray(emb_hidden).shape[1] != 2 else np.asarray(emb_hidden)
+    eh = np.asarray(emb_hidden)
+    if eh.shape[1] == 2:
+        h2 = eh
+    elif embedding_method == "tsne":
+        from sklearn.manifold import TSNE
+
+        h2 = TSNE(2, init="pca", verbose=0).fit_transform(
+            np.asarray(eh, np.float64))
+    else:
+        h2 = _pca2(eh)
     ax3.scatter(h2[:, 0], h2[:, 1], c=_colors(y), s=4)
-    ax3.set_title("euclidean embedding (PCA)")
+    ax3.set_title(f"euclidean embedding ({embedding_method.upper()})")
     ax4 = fig.add_subplot(1, 5, 4)
     plot_poincare_disk(ax4, emb_poincare, y)
     ax5 = fig.add_subplot(1, 5, 5)

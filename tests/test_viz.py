@@ -97,3 +97,22 @@ def test_tangent_projection_preserves_radii_order():
     rad = np.linalg.norm(xy, axis=1)
     assert np.all(rad < 1.0)
     assert np.all(np.diff(rad) > 0)
+
+
+def test_eval_figure_tsne_panel(tmp_path):
+    """The reference's TSNE euclidean-embedding panel (viz.py:201-214) is
+    available via embedding_method='tsne'."""
+    import numpy as np
+
+    from hpcs_tpu.utils.viz import plot_hyperbolic_eval
+
+    rng = np.random.RandomState(0)
+    N = 48
+    fig = plot_hyperbolic_eval(
+        x=rng.randn(N, 3), y=rng.randint(0, 3, N), y_pred=rng.randint(0, 3, N),
+        emb_hidden=rng.randn(N, 8), emb_poincare=rng.randn(N, 8) * 0.1,
+        linkage_matrix=np.column_stack([
+            np.arange(N - 1), np.arange(N - 1) + 1,
+            np.sort(rng.rand(N - 1)), np.full(N - 1, 2.0)]),
+        screenshot=str(tmp_path / "p.png"), embedding_method="tsne")
+    assert (tmp_path / "p.png").exists()
