@@ -91,16 +91,21 @@ def cosine_distance_matrix(x):
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
     N, F = xn.shape
     target = max(1, (1 << 22) // max(N * F, 1))
-    chunk = next((c for c in range(min(target, N), 0, -1) if N % c == 0), N)
-    if chunk >= N:
+    if target >= N:
         diff = xn[:, None, :] - xn[None, :, :]
         D = 0.5 * jnp.sum(diff * diff, axis=-1)
     else:
-        blocks = xn.reshape(N // chunk, chunk, F)
+        # ceil-split with a zero-padded tail (requiring an exact divisor
+        # degraded prime-ish N to chunk=1: N sequential latency-bound steps)
+        n_chunks = -(-N // target)
+        chunk = -(-N // n_chunks)
+        pad = n_chunks * chunk - N
+        xp = jnp.pad(xn, ((0, pad), (0, 0)))
+        blocks = xp.reshape(n_chunks, chunk, F)
         D = jax.lax.map(
             lambda blk: 0.5 * jnp.sum((blk[:, None, :] - xn[None, :, :]) ** 2, -1),
             blocks,
-        ).reshape(N, N)
+        ).reshape(n_chunks * chunk, N)[:N]
     return jnp.clip(D, 0.0, 2.0)
 
 
@@ -182,10 +187,17 @@ def linkage_from_distances(D, method="complete"):
 _MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 
 
+def _merge_cap(M):
+    """Per-round merge cap.  The Z buffer in linkage_from_distances_mnn is
+    padded by _merge_cap(N) so the contiguous dynamic_update_slice write in
+    the round body can never clamp — change the two together."""
+    return max(64, min(M // 8, 256))
+
+
 def _mnn_round_body(M, N, method):
     """One MNN round at compacted slot count M (Z/cluster ids stay global N).
 
-    Merges are capped at K = max(64, M // 8) pairs per round and the merge
+    Merges are capped at K = _merge_cap(M) pairs per round and the merge
     set is COMPACTED to K slots, so every expensive operation is [K, M] or
     smaller instead of [M, M]: in practice the NN graph of tight clusters is
     star-shaped (measured: 17-37 mutual pairs among ~1000 active), so full-
@@ -198,7 +210,7 @@ def _mnn_round_body(M, N, method):
     """
     slots = jnp.arange(M, dtype=jnp.int32)
     eye = jnp.eye(M, dtype=bool)
-    K = max(64, min(M // 8, 256))
+    K = _merge_cap(M)
     ks = jnp.arange(K, dtype=jnp.int32)
 
     if method == "complete":
@@ -331,6 +343,14 @@ def _mnn_round_body(M, N, method):
             bothC = (Cl < _INF) & (Cp < _INF)
             C = jnp.where(bothC, (slT * Cl + spT * Cp) / jnp.maximum(slT + spT, 1.0),
                           _INF)
+            # re-symmetrize: the two fp32 groupings of the nested weighted
+            # average (row-k weights innermost vs row-k') round differently
+            # by ulps, and everything here — the major-axis NN reduce, the
+            # tie mask, mutuality — RELIES on exact D symmetry (complete/
+            # single are max/min of symmetric values and need no fix).  The
+            # mean of the two roundings is itself within 1 ulp of the exact
+            # average and exactly symmetric.
+            C = 0.5 * (C + C.T)
         # write the pair-pair distances into leader columns, kill dead
         # columns; then scatter the K finished rows (and, transposed, the K
         # finished columns) back into [M, M] via one-hot matmuls — their
@@ -418,7 +438,7 @@ def linkage_from_distances_mnn(D, method="complete"):
         active=jnp.ones((N,), bool),
         # padded by the max per-round merge cap so the contiguous
         # dynamic-slice Z write in the round body never clamps
-        Z=jnp.zeros((N + max(64, N // 8), 4), jnp.float32),
+        Z=jnp.zeros((N + _merge_cap(N), 4), jnp.float32),
         cursor=jnp.int32(0),
     )
 

@@ -41,13 +41,13 @@ def make_mesh(n_devices=None, axis="data", devices=None):
     return Mesh(np.asarray(devices), (axis,))
 
 
-def make_data_parallel_train_step(system, n_devices=None, mesh=None):
-    """Returns train_step(state, batch, key, temperature) sharded over the
-    batch axis.  `state` is replicated; `batch` arrays are sharded on axis 0
-    (batch size must divide the device count evenly)."""
-    mesh = mesh or make_mesh(n_devices)
+_BATCH_SPEC = {"points": P("data"), "labels": P("data"), "category": P("data")}
 
-    batch_spec = {"points": P("data"), "labels": P("data"), "category": P("data")}
+
+def _make_sharded_train_step(system, mesh):
+    """The shard_map'd DP step — the single definition of the per-device
+    key fold, the pmean set, and the batch specs, shared by the per-step
+    train step and the fused epoch."""
 
     def per_device(state, batch, key, temperature):
         # decorrelate per-device randomness (rotations, triplet draws)
@@ -59,11 +59,19 @@ def make_data_parallel_train_step(system, n_devices=None, mesh=None):
         new_state = system.apply_gradients(state, grads, new_bs)
         return new_state, logs
 
-    sharded = _shard_map(
+    return _shard_map(
         per_device, mesh,
-        in_specs=(P(), batch_spec, P(), P()),
+        in_specs=(P(), _BATCH_SPEC, P(), P()),
         out_specs=(P(), P()),
     )
+
+
+def make_data_parallel_train_step(system, n_devices=None, mesh=None):
+    """Returns train_step(state, batch, key, temperature) sharded over the
+    batch axis.  `state` is replicated; `batch` arrays are sharded on axis 0
+    (batch size must divide the device count evenly)."""
+    mesh = mesh or make_mesh(n_devices)
+    sharded = _make_sharded_train_step(system, mesh)
 
     @jax.jit
     def step(state, batch, key, temperature):
@@ -86,42 +94,16 @@ def make_data_parallel_epoch_fn(system, n_devices=None, mesh=None):
     P('data') in_specs directly; XLA inserts no resharding.
 
     Signature matches trainer's epoch_fn contract:
-    (state, key, stacked, gs0, temperature) -> (state, key, logs[S]), with
-    the same fold_in(key, global_step + 1) key walk as the host loop, so the
-    trained state is step-for-step identical to the per-step DP loop.
+    (state, key, stacked, gs0, temperature) -> (state, key, logs[S]).  Both
+    the per-device step (one definition: _make_sharded_train_step) and the
+    scan-epoch key walk (one definition: trainer._make_fused_epoch) are
+    shared with the per-step DP loop and the single-device fused epoch, so
+    the bit-equality the parity test asserts cannot drift between copies.
     """
+    from ..trainer import _make_fused_epoch
+
     mesh = mesh or make_mesh(n_devices)
-    batch_spec = {"points": P("data"), "labels": P("data"), "category": P("data")}
-
-    def per_device(state, batch, key, temperature):
-        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        grads, logs, new_bs = system.grads_and_logs(state, batch, key, temperature)
-        grads = jax.lax.pmean(grads, "data")
-        logs = jax.lax.pmean(logs, "data")
-        new_bs = jax.lax.pmean(new_bs, "data")
-        new_state = system.apply_gradients(state, grads, new_bs)
-        return new_state, logs
-
-    sharded = _shard_map(
-        per_device, mesh,
-        in_specs=(P(), batch_spec, P(), P()),
-        out_specs=(P(), P()),
-    )
-
-    @jax.jit
-    def _epoch(state, key, stacked, gs0, temperature):
-        steps = stacked["points"].shape[0]
-
-        def body(carry, xs):
-            state, key = carry
-            gs, batch = xs
-            key = jax.random.fold_in(key, gs + 1)
-            state, logs = sharded(state, batch, key, temperature)
-            return (state, key), logs
-
-        gs_arr = gs0 + jnp.arange(steps)
-        (state, key), logs = jax.lax.scan(body, (state, key), (gs_arr, stacked))
-        return state, key, logs
+    _epoch = _make_fused_epoch(system, step_fn=_make_sharded_train_step(system, mesh))
 
     stacked_spec = NamedSharding(mesh, P(None, "data"))
 

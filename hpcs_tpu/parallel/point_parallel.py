@@ -90,13 +90,8 @@ def make_point_sharded_train_step(system, mesh):
     The trained state is numerically equivalent to the unsharded step up to
     XLA reduction order (~1e-6 relative; exactness-tested on the CPU mesh).
     """
-    data_ax = "data" if "data" in mesh.axis_names else None
     repl = NamedSharding(mesh, P())
-    batch_sh = {
-        "points": NamedSharding(mesh, P(data_ax, "points", None)),
-        "labels": NamedSharding(mesh, P(data_ax, "points")),
-        "category": NamedSharding(mesh, P(data_ax)),
-    }
+    batch_sh = _batch_shardings(mesh)
 
     @partial(jax.jit, in_shardings=(repl, batch_sh, repl, repl),
              out_shardings=(repl, repl))
@@ -114,13 +109,19 @@ def make_point_sharded_train_step(system, mesh):
     return step
 
 
-def shard_points_batch(mesh, batch):
-    """Place a host batch with (data, points) sharding on the mesh."""
+def _batch_shardings(mesh):
+    """The (data, points) sharding of a batch dict — single source of truth
+    for the sharded train step's in_shardings and shard_points_batch."""
     data_ax = "data" if "data" in mesh.axis_names else None
-    shardings = {
+    return {
         "points": NamedSharding(mesh, P(data_ax, "points", None)),
         "labels": NamedSharding(mesh, P(data_ax, "points")),
         "category": NamedSharding(mesh, P(data_ax)),
     }
+
+
+def shard_points_batch(mesh, batch):
+    """Place a host batch with (data, points) sharding on the mesh."""
+    shardings = _batch_shardings(mesh)
     return {k: jax.device_put(v, shardings.get(k, NamedSharding(mesh, P())))
             for k, v in batch.items()}

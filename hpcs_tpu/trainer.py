@@ -66,14 +66,19 @@ def _stack_epoch(train_loader, max_bytes=1 << 30):
     return stacked, rest
 
 
-def _make_fused_epoch(system):
-    """One-dispatch epoch: lax.scan of train_step over a stacked epoch.
+def _make_fused_epoch(system, step_fn=None):
+    """One-dispatch epoch: lax.scan of a train step over a stacked epoch.
 
     The per-step path pays a host->device round trip per batch, which on a
     tunneled TPU (~7-10 ms RTT) dwarfs the ~24 ms device step; scanning the
     epoch on device runs at device speed.  The (state, key) carry folds the
     key exactly like the host loop (fold_in(key, global_step + 1)), so the
-    trained state is step-for-step identical to the unfused path."""
+    trained state is step-for-step identical to the unfused path.
+
+    `step_fn(state, batch, key, temperature) -> (state, logs)` defaults to
+    the single-device system.train_step; parallel.make_data_parallel_epoch_fn
+    passes its shard_map step so the key walk lives in exactly one place."""
+    step = step_fn or system.train_step
 
     @jax.jit
     def epoch_fn(state, key, stacked, gs0, temperature):
@@ -83,7 +88,7 @@ def _make_fused_epoch(system):
             state, key = carry
             gs, batch = xs
             key = jax.random.fold_in(key, gs + 1)
-            state, logs = system.train_step(state, batch, key, temperature)
+            state, logs = step(state, batch, key, temperature)
             return (state, key), logs
 
         gs_arr = gs0 + jnp.arange(steps)

@@ -205,10 +205,13 @@ def test_mini_dataset_generator_roundtrip(tmp_path):
 
     import numpy as np
 
+    import os.path as osp
+
     root = tmp_path / "data"
-    subprocess.run(
-        [sys.executable, "tools/make_mini_datasets.py", str(root)],
-        check=True, capture_output=True)
+    tool = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "tools", "make_mini_datasets.py")
+    subprocess.run([sys.executable, tool, str(root)],
+                   check=True, capture_output=True)
 
     from hpcs_tpu.data.hierarchy import get_hierarchy_list
     from hpcs_tpu.data.partnet import PartNetDataset
