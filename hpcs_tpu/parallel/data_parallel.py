@@ -72,10 +72,17 @@ def make_data_parallel_train_step(system, n_devices=None, mesh=None):
     (batch size must divide the device count evenly)."""
     mesh = mesh or make_mesh(n_devices)
     sharded = _make_sharded_train_step(system, mesh)
+    jitted = jax.jit(sharded)
 
-    @jax.jit
     def step(state, batch, key, temperature):
-        return sharded(state, batch, key, temperature)
+        B = batch["points"].shape[0]
+        n = mesh.size
+        if B % n:
+            raise ValueError(
+                f"data-parallel batch size {B} is not divisible by the "
+                f"{n}-device mesh — drop ragged tails (DataLoader "
+                f"drop_last=True) or pick batch % {n} == 0")
+        return jitted(state, batch, key, temperature)
 
     return step
 

@@ -224,3 +224,15 @@ def test_fused_dp_epoch_matches_stepped_dp():
         np.asarray(state_ref.step), np.asarray(state_fused.step))
     # params must also remain replicated across devices after the fused epoch
     _assert_replicated(state_fused.params["cosface_W"], "cosface_W@fused")
+
+
+def test_dp_step_rejects_ragged_batch():
+    """A batch not divisible by the mesh raises a clear error instead of a
+    cryptic shard_map shape failure."""
+    system = _system()
+    mesh = make_mesh(8)
+    step = make_data_parallel_train_step(system, mesh=mesh)
+    state = system.init(KEY, _batch(8))
+    bad = _batch(6)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, bad, KEY, jnp.float32(0.1))

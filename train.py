@@ -48,6 +48,10 @@ def main():
         import jax
 
         n_dev = args.data_parallel or len(jax.devices())
+        if n_dev > 1 and args.batch % n_dev != 0:
+            print(f"warning: --data_parallel {n_dev} ignored — batch "
+                  f"{args.batch} is not divisible by {n_dev}; training "
+                  "single-device")
         if n_dev > 1 and args.batch % n_dev == 0:
             from hpcs_tpu.parallel import (
                 make_data_parallel_epoch_fn,
