@@ -317,3 +317,39 @@ def test_mnn_linkage_terminates_on_nan():
     D = jnp.full((32, 32), jnp.nan, jnp.float32)
     Z = np.asarray(linkage_from_distances_mnn(D))
     assert Z.shape == (31, 4)  # contents unspecified — NaN in, garbage out
+
+
+@pytest.mark.parametrize("method", ["complete", "single", "average"])
+def test_mnn_linkage_tie_heavy_duplicates(method):
+    """Exact-duplicate points (distance bit-zero blocks — the untrained-
+    embedding regime that collapsed MNN to ~2 merges/round before the hash
+    tie-break) must still produce a valid dendrogram: scipy-equal height
+    multiset, and the cut at k = #groups recovers the duplicate groups."""
+    from hpcs_tpu.decode.linkage import (
+        cosine_distance_matrix,
+        linkage_from_distances_mnn,
+    )
+
+    rng = np.random.RandomState(11)
+    groups = 6
+    per = 32
+    base = rng.randn(groups, 5).astype(np.float32)
+    x = np.repeat(base, per, axis=0)          # 192 points, 6 exact groups
+    gt = np.repeat(np.arange(groups), per)
+    D = np.asarray(cosine_distance_matrix(jnp.asarray(x)), np.float32)
+    D = np.float32(0.5) * (D + D.T)
+    assert (D[gt[:, None] == gt[None, :]] == 0).all()
+
+    Z = np.asarray(linkage_from_distances_mnn(jnp.asarray(D), method=method))
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from scipy.spatial.distance import squareform
+
+    D64 = D.astype(np.float64)
+    np.fill_diagonal(D64, 0.0)
+    Zs = scipy_linkage(squareform(D64, checks=False), method=method)
+    np.testing.assert_allclose(np.sort(Z[:, 2]), np.sort(Zs[:, 2]), atol=1e-6)
+
+    labels = np.asarray(cut_maxclust(jnp.asarray(Z), jnp.int32(groups)))
+    from sklearn.metrics.cluster import adjusted_rand_score
+
+    assert adjusted_rand_score(labels, gt) == pytest.approx(1.0)
