@@ -1,6 +1,7 @@
 from .linkage import (
     cosine_distance_matrix,
     cut_maxclust,
+    cut_maxclust_fcluster,
     euclidean_distance_matrix,
     linkage,
     linkage_from_distances,
@@ -18,6 +19,7 @@ from .scores import (
 __all__ = [
     "cosine_distance_matrix",
     "cut_maxclust",
+    "cut_maxclust_fcluster",
     "euclidean_distance_matrix",
     "linkage",
     "linkage_from_distances",

@@ -692,3 +692,79 @@ def cut_maxclust(Z, k):
                       axis=1).astype(jnp.int32)
     rank = jnp.cumsum(present) - 1
     return rank[roots].astype(jnp.int32)
+
+
+@jax.jit
+def cut_maxclust_fcluster(Z, k):
+    """Flat cut matching scipy ``fcluster(Z, k, 'maxclust') - 1`` bit-for-bit.
+
+    Two behaviors distinguish it from `cut_maxclust` (whose labels are only
+    permutation-equal), both needed so the reference's numbering-sensitive
+    weighted-jaccard metric (scores.py:239) is comparable across pipelines:
+
+    1. *Threshold tie semantics.* scipy picks the smallest merge height whose
+       threshold cut yields <= k clusters, so a tie block straddling the
+       k-boundary collapses entirely and the cut can have FEWER than k
+       clusters; `cut_maxclust` applies exactly N - k merges instead.
+    2. *DFS cluster numbering.* scipy's cluster_monocrit numbers clusters in
+       discovery order of a pre-order DFS that descends INTERNAL children
+       before labeling LEAF children (left-first within each class); when
+       k >= N it special-cases to identity labels.  Both rules validated
+       against fcluster on ~9k random/tied cases (tests/test_decode.py).
+
+    Discovery order equals the order of each cluster's first leaf in the
+    reordered tree's leaf sequence, so it is computed in parallel rather
+    than by a sequential walk: pos(leaf) = sum over ancestor edges of the
+    leaf-count of siblings preceding that edge's child (weighted binary
+    lifting, O(N log N)), then clusters rank by their minimum leaf position.
+    """
+    N = Z.shape[0] + 1
+    nodes = jnp.arange(2 * N - 1, dtype=jnp.int32)
+    kc = jnp.clip(k, 1, N)
+    h = Z[:, 2]
+    m0 = N - kc  # merge count for an exact-k cut
+    # tie semantics: extend through the whole tie block at the boundary
+    hb = h[jnp.maximum(m0 - 1, 0)]
+    m = jnp.where(m0 > 0, jnp.sum((h <= hb).astype(jnp.int32)), 0)
+    roots = _roots_after_merges(Z, m)
+
+    child_row, up, is_b = build_cut_tables(Z)
+    a = Z[:, 0].astype(jnp.int32)
+    b = Z[:, 1].astype(jnp.int32)
+    # transformed sibling order: internal children precede leaf children,
+    # left-first within each class -> a precedes b unless a is a leaf and
+    # b is internal
+    a_first = ~((a < N) & ~(b < N))  # [N-1]
+    sizes = jnp.concatenate(
+        [jnp.ones((N,), jnp.int32), Z[:, 3].astype(jnp.int32)])
+    row = child_row  # child_row[root] aliases the last row; val zeroed below
+    isb = is_b.astype(bool)
+    later = jnp.where(isb, a_first[row], ~a_first[row])
+    sibling = jnp.where(isb, a[row], b[row])
+    val = jnp.where(later, sizes[sibling], 0)
+    val = jnp.where(nodes == 2 * N - 2, 0, val)  # root has no parent edge
+
+    # path-sum binary lifting: root is absorbing (val 0, parent self), so
+    # overshooting the depth adds zeros
+    P = up[0]
+    s = val
+    for _ in range(_doubling_steps(N)):
+        s = s + s[P]
+        P = P[P]
+    pos = s[:N]  # leaf index in the transformed leaf sequence, a permutation
+
+    # min leaf position per cluster root: sort by (root, pos), forward-fill
+    # each group's first pos, unsort
+    key = roots * N + pos
+    order = jnp.argsort(key)
+    rs = roots[order]
+    ps = pos[order]
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), rs[1:] != rs[:-1]])
+    lead = jax.lax.cummax(
+        jnp.where(boundary, jnp.arange(N, dtype=jnp.int32), 0))
+    minpos_sorted = ps[lead]
+    minpos = minpos_sorted[jnp.argsort(order)]
+
+    labels = _relabel_consecutive(minpos)
+    return jnp.where(kc >= N, jnp.arange(N, dtype=jnp.int32), labels)

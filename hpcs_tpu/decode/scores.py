@@ -16,6 +16,7 @@ from .linkage import (
     _relabel_consecutive,
     build_cut_tables,
     cut_maxclust,
+    cut_maxclust_fcluster,
     cut_roots_sweep,
 )
 
@@ -76,11 +77,10 @@ def weighted_jaccard(y_true, y_pred, c_max, k_max):
     with an empty union score 0 like sklearn.
 
     Caveat: the value depends on which arbitrary cluster NUMBER each flat
-    cluster gets.  Our cuts number clusters by ascending root id while
-    scipy's fcluster numbers by its internal dendrogram DFS, so on the same
-    partition the two pipelines can disagree on this metric (verified:
-    partitions identical, numbering differs for k>2) — a property of the
-    reference metric itself, not of the clustering."""
+    cluster gets — a property of the reference metric itself, not of the
+    clustering.  For bit-for-bit comparability with the reference pipeline,
+    cut with `cut_maxclust_fcluster` (scipy fcluster's DFS numbering + tie
+    semantics), i.e. eval_clustering(fcluster_ids=True)."""
     m = max(c_max, k_max)
     cont = contingency(y_true, y_pred, m, m).astype(jnp.float32)
     tp = jnp.diagonal(cont)
@@ -161,15 +161,22 @@ def get_optimal_k(y, Z, num_class, index="iou"):
     return _relabel_consecutive(roots[best]), ks[best], scores[best]
 
 
-@partial(jax.jit, static_argnames=("num_class",))
-def eval_clustering(y, Z, num_class):
+@partial(jax.jit, static_argnames=("num_class", "fcluster_ids"))
+def eval_clustering(y, Z, num_class, fcluster_ids=False):
     """Cut at the true cluster count; report (ARI, weighted IoU, purity).
     The first two mirror the reference's eval_clustering return pair
     (scores.py:229-240: rand + jaccard_score(average='weighted') on
     np.unique-remapped ids); purity is kept as the benchmark-target
-    quality measure."""
+    quality measure.
+
+    fcluster_ids=True cuts with scipy-fcluster-identical numbering and tie
+    semantics (cut_maxclust_fcluster) so the numbering-sensitive weighted
+    IoU matches the reference pipeline bit-for-bit; the default keeps the
+    cheaper root-order cut (ARI/purity are numbering-invariant either way).
+    """
     y_true, n_true = remap_consecutive(y, num_class)
-    y_pred_raw = cut_maxclust(Z, n_true)
+    cut = cut_maxclust_fcluster if fcluster_ids else cut_maxclust
+    y_pred_raw = cut(Z, n_true)
     k_max = min(num_class + 4, Z.shape[0] + 1) + 1
     # the reference remaps cluster ids consecutively (np.unique inverse)
     # before scoring; the jaccard metric compares raw id equality so the

@@ -206,6 +206,92 @@ def test_weighted_jaccard_matches_sklearn():
         assert ours == pytest.approx(ref, abs=1e-6)
 
 
+def _tied_and_untied_dendrograms():
+    """(name, points) cases: generic positions and heavy exact ties
+    (duplicated points collapse many merge heights to identical values)."""
+    rng = np.random.RandomState(17)
+    untied = rng.randn(30, 3)
+    base = rng.randn(8, 3)
+    tied = np.vstack([base, base, base])  # 3 copies of 8 points
+    return [("untied", untied), ("tied", tied)]
+
+
+@pytest.mark.parametrize("method", ["complete", "single", "average"])
+def test_cut_maxclust_fcluster_matches_scipy_bitwise(method):
+    """cut_maxclust_fcluster == scipy fcluster(maxclust) - 1 EXACTLY —
+    numbering included, not just the partition — on tied and untied
+    dendrograms, k = 1..C+4 and k >= N (scipy's identity special case)."""
+    from scipy.cluster.hierarchy import fcluster
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+
+    from hpcs_tpu.decode import cut_maxclust_fcluster
+
+    for name, X in _tied_and_untied_dendrograms():
+        n = len(X)
+        Z = scipy_linkage(X, method=method, metric="euclidean")
+        Zj = jnp.asarray(Z)
+        for k in list(range(1, 13)) + [n, n + 4]:
+            want = fcluster(Z, k, "maxclust") - 1
+            got = np.asarray(cut_maxclust_fcluster(Zj, jnp.int32(k)))
+            np.testing.assert_array_equal(got, want, err_msg=f"{name} k={k}")
+
+
+def test_weighted_jaccard_matches_reference_pipeline_bitwise():
+    """End-to-end metric comparability (VERDICT r3 #9): our weighted_jaccard
+    on a cut_maxclust_fcluster cut equals the reference's
+    jaccard_score(average='weighted') computed on scipy fcluster output
+    (np.unique-remapped, reference scores.py:229-240), for k = 1..C+4 on
+    tied and untied dendrograms."""
+    from scipy.cluster.hierarchy import fcluster
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+    from sklearn.metrics import jaccard_score
+
+    from hpcs_tpu.decode import cut_maxclust_fcluster
+    from hpcs_tpu.decode.scores import weighted_jaccard
+
+    rng = np.random.RandomState(23)
+    C = 5
+    for name, X in _tied_and_untied_dendrograms():
+        n = len(X)
+        y = rng.randint(0, C, size=n)
+        Z = scipy_linkage(X, method="complete", metric="euclidean")
+        Zj = jnp.asarray(Z)
+        for k in range(1, C + 5):
+            f = fcluster(Z, k, "maxclust") - 1
+            _, y_ref = np.unique(y, return_inverse=True)
+            _, p_ref = np.unique(f, return_inverse=True)
+            ref = jaccard_score(y_ref, p_ref, average="weighted",
+                                zero_division=0)
+            ours_pred = cut_maxclust_fcluster(Zj, jnp.int32(k))
+            np.testing.assert_array_equal(np.asarray(ours_pred), f)
+            m = max(C, n + 1)
+            got = float(weighted_jaccard(
+                jnp.asarray(y_ref), ours_pred, c_max=m, k_max=m))
+            assert got == pytest.approx(ref, abs=1e-6), (name, k)
+
+
+def test_eval_clustering_fcluster_ids_matches_reference():
+    """eval_clustering(fcluster_ids=True) reproduces the reference's
+    (rand, weighted-iou) pair computed with scipy/sklearn on the same
+    dendrogram and labels."""
+    from scipy.cluster.hierarchy import fcluster
+    from sklearn.metrics import adjusted_rand_score, jaccard_score
+
+    x, labels = _clustered_points(jax.random.fold_in(KEY, 9), n_clusters=4,
+                                  per=12, spread=0.4)
+    Z = linkage(x, method="complete", metric="cosine")
+    ri, wiou, _ = eval_clustering(labels, Z, num_class=8, fcluster_ids=True)
+    y = np.asarray(labels)
+    f = fcluster(np.asarray(Z, np.float64), int(y.max()) + 1, "maxclust") - 1
+    _, y_ref = np.unique(y, return_inverse=True)
+    _, p_ref = np.unique(f, return_inverse=True)
+    assert float(ri) == pytest.approx(
+        adjusted_rand_score(y_ref, p_ref), abs=1e-5)
+    assert float(wiou) == pytest.approx(
+        jaccard_score(y_ref, p_ref, average="weighted", zero_division=0),
+        abs=1e-6)
+
+
 def test_decode_batch_vmap():
     xs = jnp.stack([_clustered_points(jax.random.fold_in(KEY, i))[0] for i in range(3)])
     Zs = jax.vmap(lambda x: linkage(x))(xs)
