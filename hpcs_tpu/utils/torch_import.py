@@ -19,11 +19,146 @@ import numpy as np
 
 def load_torch_state_dict(path):
     """Read a torch/Lightning checkpoint into {name: np.ndarray}."""
+    sd, _ = load_lightning_payload(path)
+    return sd
+
+
+class _StubBase:
+    """Attribute/item-preserving placeholder for classes that are not
+    importable at unpickle time (the reference's hpcs.* modules and
+    Lightning containers inside `hyper_parameters`).  Scalars, tensors and
+    plain attributes survive; behavior does not (none is needed — the
+    importer only reads attributes like k / out_features / num_categories).
+    """
+
+    def __init__(self, *args, **kwargs):
+        self._items = {}
+        self._list = []
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif isinstance(state, tuple) and len(state) == 2 \
+                and isinstance(state[0], (dict, type(None))):
+            # (dict_state, slots_state) form
+            self.__dict__.update(state[0] or {})
+            self.__dict__.update(state[1] or {})
+        else:
+            self.__dict__["_state"] = state
+
+    # dict-subclass pickles replay items through __setitem__
+    def __setitem__(self, k, v):
+        self.__dict__.setdefault("_items", {})[k] = v
+
+    # list-subclass pickles replay through append/extend
+    def append(self, v):
+        self.__dict__.setdefault("_list", []).append(v)
+
+    def extend(self, vs):
+        self.__dict__.setdefault("_list", []).extend(vs)
+
+
+def _stub_dict(obj):
+    """Best-effort plain dict view of a dict, stub, or namespace object."""
+    if obj is None:
+        return {}
+    if isinstance(obj, dict):
+        return dict(obj)
+    d = dict(getattr(obj, "_items", None) or {})
+    for k, v in vars(obj).items() if hasattr(obj, "__dict__") else ():
+        if k not in ("_items", "_list", "_state"):
+            d.setdefault(k, v)
+    return d
+
+
+def load_lightning_payload(path):
+    """Read a torch/Lightning checkpoint: (state_dict as numpy, raw payload).
+
+    Unlike a plain torch.load, classes that cannot be imported here — the
+    reference's hpcs.* model classes that `save_hyperparameters()` pickled
+    into `hyper_parameters` (/root/reference/hpcs/models/base_hyp_hc.py:76),
+    pytorch_lightning containers, pytorch3d transforms — deserialize as
+    attribute-preserving stubs instead of raising ImportError, so hparams
+    rehydration works without the reference package installed.
+    """
+    import io
+    import pickle
+    import types
+
     import torch
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
-    sd = payload.get("state_dict", payload)
-    return {k: v.detach().cpu().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_StubBase,), {"__module__": module})
+
+    shim = types.ModuleType("hpcs_tpu._stub_pickle")
+    shim.Unpickler = _Unpickler
+    shim.load = lambda f, **kw: _Unpickler(f, **kw).load()
+    shim.loads = lambda b, **kw: _Unpickler(io.BytesIO(b), **kw).load()
+
+    payload = torch.load(path, map_location="cpu", pickle_module=shim,
+                         weights_only=False)
+    raw_sd = payload.get("state_dict", payload) if isinstance(payload, dict) \
+        else payload
+    sd = {k: v.detach().cpu().numpy() for k, v in raw_sd.items()
+          if hasattr(v, "detach")}
+    return sd, payload if isinstance(payload, dict) else {}
+
+
+_REF_MODEL_NAMES = {
+    "VN_DGCNN_partseg": "vn_dgcnn_partseg",
+    "DGCNN_partseg": "dgcnn_partseg",
+    "POINTNET_partseg": "pointnet_partseg",
+    "VN_POINTNET_partseg": "vn_pointnet_partseg",
+}
+
+
+def reference_hparams_to_config_kwargs(payload):
+    """ModelConfig kwargs rehydrated from a Lightning checkpoint payload.
+
+    The reference embeds every constructor arg via `save_hyperparameters()`
+    (base_hyp_hc.py:76) and `load_from_checkpoint` rehydrates them
+    (/root/reference/infer.py:43,59); this is the equivalent for the
+    importer (VERDICT r3 #2) — CLI flags become overrides, not the source
+    of truth.  Backbone attrs (k, out_features, num_categories, dropout,
+    pooling) come from the pickled nn_feat module object, stub or real.
+    Returns only the keys that could be derived.
+    """
+    h = _stub_dict((payload or {}).get("hyper_parameters"))
+    out = {}
+    renamed = {"euclidean_size": "eucl_dim", "hyp_size": "hyp_dim"}
+    for src, dst in renamed.items():
+        if isinstance(h.get(src), (int, float)):
+            out[dst] = int(h[src])
+    passthrough = (
+        "lr", "margin", "t_per_anchor", "fraction", "temperature",
+        "anneal_factor", "anneal_step", "num_class", "trade_off", "miner",
+        "cosface", "train_rotation", "test_rotation", "class_vector",
+        "hierarchical",
+    )
+    for k in passthrough:
+        if isinstance(h.get(k), (bool, int, float, str)):
+            out[k] = h[k]
+    # PartNet models are the ones constructed with hierarchy args
+    # (partnet_hyp_hc.py:27-28); they use a single dummy category
+    if any(k in h for k in ("hierarchical", "hierarchy_list", "level")):
+        out["dataset"] = "partnet"
+        out["num_categories"] = 1
+    feat = h.get("nn_feat")
+    if feat is not None:
+        name = _REF_MODEL_NAMES.get(type(feat).__name__)
+        if name:
+            out["model_name"] = name
+        for src, dst in (("k", "k"), ("num_categories", "num_categories"),
+                         ("dropout", "dropout"), ("pooling", "pooling"),
+                         ("out_features", "eucl_dim")):
+            v = getattr(feat, src, None)
+            if isinstance(v, (bool, int, float, str)):
+                out.setdefault(dst, v)
+    return out
 
 
 def _t(w):

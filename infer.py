@@ -26,9 +26,13 @@ def fetch_wandb_checkpoint(run_path, dest=None):
     (reference resume path: /root/reference/infer.py:15-24 wandb.restore).
     Downloads the Lightning model.ckpt + config.yaml from the run and
     converts them into this repo's local-directory format via
-    tools/import_checkpoint.py.  Requires the wandb package and network
-    access; offline users should download model.ckpt themselves and run
-    `python tools/import_checkpoint.py` on it."""
+    tools/import_checkpoint.py — with NO dim flags: the importer rehydrates
+    eucl/hyp dims, num_class, k and model from the checkpoint's own
+    hyper_parameters payload (save_hyperparameters, base_hyp_hc.py:76), so
+    ShapeNet 50/50 and PartNet 4/4 runs alike import correctly.  Requires
+    the wandb package and network access; offline users should download
+    model.ckpt themselves and run `python tools/import_checkpoint.py` on
+    it."""
     import subprocess
     import sys
 

@@ -24,10 +24,11 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree a
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 
 
-def _load_reference(out_features, k):
+def _load_reference(out_features, k, num_categories=16):
     from reference_baseline import load_reference_backbone
 
-    return load_reference_backbone(out_features=out_features, k=k)
+    return load_reference_backbone(out_features=out_features, k=k,
+                                   num_categories=num_categories)
 
 
 @pytest.fixture(scope="module")
@@ -113,3 +114,103 @@ def test_lightning_checkpoint_conversion(pair):
                    torch.from_numpy(label)).numpy()
     np.testing.assert_allclose(np.asarray(x_e), want, atol=2e-3, rtol=1e-2)
     assert np.all(np.linalg.norm(np.asarray(x_p), axis=-1) < 1.0)
+
+
+def test_import_checkpoint_rehydrates_hparams(tmp_path):
+    """VERDICT r3 #2 done-criterion: a synthetic Lightning checkpoint with
+    the PartNet Bottle geometry (euclidean/hyp 4/4, num_class 9 —
+    /root/reference/checkpoints/partnet/Bottle/config.yaml) imports with
+    ZERO dim flags: dims/model/k/num_class are rehydrated from the ckpt's
+    own hyper_parameters (save_hyperparameters payload, base_hyp_hc.py:76),
+    including attrs read off the pickled nn_feat module object whose CLASS
+    is unimportable at load time (the stub-unpickler path).  Forward parity
+    of the imported weights is then checked against the torch reference."""
+    import importlib.util
+
+    ref = _load_reference(out_features=4, k=12, num_categories=1).eval()
+
+    # an nn_feat whose class will NOT be importable when the importer loads
+    # the file (simulates a user without the reference hpcs package)
+    import types
+
+    fake_mod = types.ModuleType("hpcs_fake_for_test")
+    # type() keeps the qualname module-level so pickle-by-reference works
+    VN_DGCNN_partseg = type(
+        "VN_DGCNN_partseg", (),
+        {"__module__": "hpcs_fake_for_test",
+         "__qualname__": "VN_DGCNN_partseg"})
+    fake_mod.VN_DGCNN_partseg = VN_DGCNN_partseg
+    fake_feat = VN_DGCNN_partseg()
+    fake_feat.k = 12
+    fake_feat.out_features = 4
+    fake_feat.num_categories = 1
+    fake_feat.dropout = 0.5
+    fake_feat.pooling = "mean"
+
+    rng = np.random.RandomState(5)
+    sd = {f"nn_feat.{k}": v for k, v in ref.state_dict().items()}
+    sd["scale"] = torch.tensor([0.02], dtype=torch.float32)
+    sd["metric_hyp_loss.loss_cosface.W"] = torch.from_numpy(
+        rng.randn(4, 9).astype(np.float32))
+    payload = {
+        "state_dict": sd,
+        "hyper_parameters": {
+            "euclidean_size": 4, "hyp_size": 4, "num_class": 9,
+            "lr": 0.05, "margin": 0.35, "t_per_anchor": 50, "fraction": 1.2,
+            "temperature": 0.1, "anneal_factor": 0.5, "anneal_step": 0,
+            "trade_off": 0.1, "miner": True, "cosface": True,
+            "hierarchical": False, "level": 3, "nn_feat": fake_feat,
+            "nn_emb": None,
+        },
+    }
+    ckpt_path = tmp_path / "model.ckpt"
+    sys.modules["hpcs_fake_for_test"] = fake_mod
+    try:
+        torch.save(payload, str(ckpt_path))
+    finally:
+        del sys.modules["hpcs_fake_for_test"]
+
+    out_dir = tmp_path / "imported"
+    spec = importlib.util.spec_from_file_location(
+        "import_checkpoint_under_test",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "import_checkpoint.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    # zero dim/model flags — only a small fixed_points for CPU compile speed
+    sys.argv = ["import_checkpoint.py", str(ckpt_path), str(out_dir),
+                "--fixed_points", "96"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+
+    from hpcs_tpu.models import HypHCSystem, ModelConfig
+    from hpcs_tpu.utils.checkpoint import load_config, restore_checkpoint
+
+    cfg_dict = load_config(str(out_dir))
+    assert cfg_dict["eucl_dim"] == 4
+    assert cfg_dict["hyp_dim"] == 4
+    assert cfg_dict["num_class"] == 9
+    assert cfg_dict["k"] == 12
+    assert cfg_dict["num_categories"] == 1
+    assert cfg_dict["dataset"] == "partnet"
+    assert cfg_dict["model_name"] == "vn_dgcnn_partseg"
+
+    cfg_dict["hierarchy_list"] = ()
+    cfg = ModelConfig(**cfg_dict)
+    system = HypHCSystem(cfg)
+    pts = np.random.RandomState(1).randn(2, 96, 3).astype(np.float32)
+    batch = {"points": pts, "labels": np.zeros((2, 96), np.int32),
+             "category": np.zeros((2,), np.int32)}
+    state = system.init(jax.random.PRNGKey(0), batch)
+    state, _, _ = restore_checkpoint(str(out_dir), state)
+    label = np.eye(1, dtype=np.float32)[np.zeros(2, np.int64)]
+    x_e, _ = system.net.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(pts), jnp.asarray(label), train=False)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(pts).transpose(2, 1),
+                   torch.from_numpy(label)).numpy()
+    np.testing.assert_allclose(np.asarray(x_e), want, atol=2e-3, rtol=1e-2)
