@@ -73,15 +73,23 @@ def make_data_parallel_train_step(system, n_devices=None, mesh=None):
     mesh = mesh or make_mesh(n_devices)
     sharded = _make_sharded_train_step(system, mesh)
     jitted = jax.jit(sharded)
+    warned = []
 
     def step(state, batch, key, temperature):
         B = batch["points"].shape[0]
         n = mesh.size
         if B % n:
-            raise ValueError(
-                f"data-parallel batch size {B} is not divisible by the "
-                f"{n}-device mesh — drop ragged tails (DataLoader "
-                f"drop_last=True) or pick batch % {n} == 0")
+            # ragged tail (drop_last=False loaders): run it as ONE
+            # single-device-semantics step instead of crashing mid-epoch —
+            # same math, just no batch sharding; costs one extra compile
+            # for the tail shape (ADVICE r3: trainer.fit promises the
+            # per-step path handles ragged tails)
+            if not warned:
+                warned.append(True)
+                print(f"data-parallel: batch {B} not divisible by the "
+                      f"{n}-device mesh; running ragged tail unsharded "
+                      "(use DataLoader drop_last=True to avoid this)")
+            return system.train_step(state, batch, key, temperature)
         return jitted(state, batch, key, temperature)
 
     return step
@@ -115,6 +123,17 @@ def make_data_parallel_epoch_fn(system, n_devices=None, mesh=None):
     stacked_spec = NamedSharding(mesh, P(None, "data"))
 
     def epoch_fn(state, key, stacked, gs0, temperature):
+        B = stacked["points"].shape[1]
+        if B % mesh.size:
+            # same clear error as the per-step path would give a direct
+            # caller (ADVICE r3) — device_put would otherwise fail with a
+            # cryptic NamedSharding shape error.  trainer.fit never hits
+            # this: stacked epochs use the loader's uniform batch size and
+            # ragged tails go through train_step_fn.
+            raise ValueError(
+                f"fused DP epoch: batch size {B} is not divisible by the "
+                f"{mesh.size}-device mesh — use DataLoader drop_last=True "
+                f"or pick batch % {mesh.size} == 0")
         stacked = {k: jax.device_put(v, stacked_spec) for k, v in stacked.items()}
         return _epoch(state, key, stacked, gs0, temperature)
 

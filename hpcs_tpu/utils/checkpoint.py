@@ -78,12 +78,18 @@ def restore_checkpoint(path, template_state):
 
 
 def save_checkpoint_orbax(path, state):
-    """Async-capable orbax checkpoint of the TrainState (directory format)."""
+    """Async-capable orbax checkpoint of the TrainState (directory format).
+
+    The LIVE jax arrays are handed to orbax (no jax.device_get): orbax then
+    writes each shard once from the host that owns it, which is what makes
+    this path valid for genuinely cross-host-sharded (non-fully-addressable)
+    state — a device_get would gather the full state to every host and
+    raise on non-addressable arrays (ADVICE r3)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "orbax"), jax.device_get(state), force=True)
+    ckptr.save(os.path.join(path, "orbax"), state, force=True)
     ckptr.wait_until_finished()
 
 

@@ -226,13 +226,31 @@ def test_fused_dp_epoch_matches_stepped_dp():
     _assert_replicated(state_fused.params["cosface_W"], "cosface_W@fused")
 
 
-def test_dp_step_rejects_ragged_batch():
-    """A batch not divisible by the mesh raises a clear error instead of a
-    cryptic shard_map shape failure."""
+def test_dp_step_handles_ragged_batch():
+    """A batch not divisible by the mesh runs unsharded (single-device
+    semantics) instead of crashing mid-epoch — trainer.fit's contract for
+    drop_last=False loaders (ADVICE r3)."""
     system = _system()
     mesh = make_mesh(8)
     step = make_data_parallel_train_step(system, mesh=mesh)
     state = system.init(KEY, _batch(8))
-    bad = _batch(6)
+    ragged = _batch(6)
+    new_state, logs = step(state, ragged, KEY, jnp.float32(0.1))
+    assert np.isfinite(float(logs["total_loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_dp_epoch_fn_rejects_ragged_batch():
+    """The fused DP epoch cannot fall back per-batch; a direct caller with
+    an indivisible stacked batch gets a clear ValueError, not a cryptic
+    device_put/NamedSharding failure (ADVICE r3)."""
+    from hpcs_tpu.parallel import make_data_parallel_epoch_fn
+
+    system = _system()
+    mesh = make_mesh(8)
+    epoch_fn = make_data_parallel_epoch_fn(system, mesh=mesh)
+    state = system.init(KEY, _batch(8))
+    b = _batch(6)
+    stacked = {k: jnp.asarray(v)[None] for k, v in b.items()}  # [S=1, B=6, ...]
     with pytest.raises(ValueError, match="not divisible"):
-        step(state, bad, KEY, jnp.float32(0.1))
+        epoch_fn(state, KEY, stacked, jnp.int32(0), jnp.float32(0.1))
