@@ -75,7 +75,9 @@ def add_train_args(parser):
                              'inference throughput on v5e, invariance noise grows '
                              'from tie-dominated ~4e-2 (see PLAN.md)')
     parser.add_argument('--layout', default='cv', choices=['cv', 'vc'],
-                        help='VN feature layout (see models/config.py notes)')
+                        help='VN feature layout (vc is inference-only intent: '
+                             'its TRAINING backward is ~2.7x slower on TPU; '
+                             'see models/config.py notes)')
     return parser
 
 

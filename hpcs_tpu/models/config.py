@@ -46,7 +46,9 @@ class ModelConfig:
     # Params are layout-independent.  Measured on v5e: inference is
     # layout-neutral (523 vs 520 clouds/s) but the vc TRAINING step is ~2.7x
     # slower with the fused optimizer (335.7 vs 124.6 ms/step, B=8/N=1024) —
-    # an XLA backward-fusion pathology.  Default: cv.
+    # an XLA backward-fusion pathology.  vc is therefore INFERENCE-ONLY
+    # intent: train.py prints a loud warning when training with it
+    # (VERDICT r3 #6).  Default: cv.
     layout: str = "cv"
     # hierarchy (PartNet): nested per-level branch lists of leaf ids
     hierarchy_list: Tuple = ()

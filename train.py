@@ -37,6 +37,17 @@ def main():
 
     system, train_loader, valid_loader, test_loader = configure(args)
 
+    if args.layout == "vc" and not args.infer:
+        # measured v5e pathology, not a correctness issue: the vc TRAINING
+        # backward is ~2.7x slower (335.7 vs 124.6 ms/step at B=8/N=1024,
+        # benchmarks/layout_bench.py); inference is layout-neutral.
+        print("=" * 70)
+        print("WARNING: --layout vc is intended for INFERENCE experiments "
+              "only.\nTraining with it is ~2.7x slower than the default cv "
+              "layout on TPU\n(an XLA backward-fusion pathology; see "
+              "models/config.py notes).\nUse --layout cv for training.")
+        print("=" * 70)
+
     run_name = f"{args.dataset}_{args.model}"
     logger = MetricLogger(args.log, run_name, use_wandb=args.wandb == "online",
                           wandb_mode=args.wandb, config=vars(args))
