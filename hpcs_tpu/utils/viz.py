@@ -147,6 +147,113 @@ def plot_hyperbolic_eval(x, y, y_pred, emb_hidden, emb_poincare, linkage_matrix,
     return fig
 
 
+def plot_clustering(ax, X, y, idx=None, eps=1e-1):
+    """2-D scatter of a clustering: points colored by cluster, optional
+    highlighted square markers at `idx` (reference viz.py:187-199, which
+    draws on the current axes; here the axes are explicit like every other
+    helper in this module)."""
+    X = np.asarray(X)
+    y = np.asarray(y)
+    c = _colors(y)
+    ax.scatter(X[:, 0], X[:, 1], s=15, linewidths=1.5, c=c,
+               edgecolors=c, alpha=0.9)
+    if idx is not None:
+        idx = np.asarray(idx)
+        ax.scatter(X[idx, 0], X[idx, 1], s=30,
+                   c=[c[i] for i in np.atleast_1d(idx)],
+                   marker="s", edgecolors="k")
+    ax.set_xlim(X[:, 0].min() - eps, X[:, 0].max() + eps)
+    ax.set_ylim(X[:, 1].min() - eps, X[:, 1].max() + eps)
+
+
+def plot_graph(ax, x, edge_index, edge_col, colorbar=True):
+    """2-D point graph with edges colored by `edge_col` in [0, 1]
+    (reference viz.py:250-281: LineCollection + white node scatter).
+
+    x: [N, 2] positions; edge_index: [2, E] int endpoints; edge_col: [E].
+    """
+    from matplotlib.collections import LineCollection
+
+    x = np.asarray(x)
+    e = np.asarray(edge_index)
+    edge_col = np.asarray(edge_col)
+    segments = np.stack([x[e[0]], x[e[1]]], axis=1)
+    lc = LineCollection(segments, zorder=0)
+    lc.set_array(edge_col)
+    lc.set_clim(vmin=0.0, vmax=1.0)
+    ax.set_xticks(())
+    ax.set_yticks(())
+    ax.set_xlim(segments[:, :, 0].min(), segments[:, :, 0].max())
+    ax.set_ylim(segments[:, :, 1].min(), segments[:, :, 1].max())
+    ax.add_collection(lc)
+    if colorbar:
+        cb = ax.figure.colorbar(lc, ax=ax)
+        cb.set_label("Edge Label")
+    ax.set_aspect("equal")
+    ax.scatter(x[:, 0], x[:, 1], s=20, c="w", edgecolors="k")
+    return lc
+
+
+def plot_confusion_matrix(cm, classes, normalize=False,
+                          title="Confusion matrix", cmap="Blues",
+                          figsize=(8, 8), savefig=""):
+    """Annotated confusion-matrix heatmap (reference viz.py:375-441).
+
+    normalize=True renormalizes each row to sum 1 (the reference's
+    mat_renorm_rows).  Returns the figure; saves to `savefig` when given.
+    """
+    cm = np.asarray(cm)
+    if normalize:
+        rows = cm.sum(axis=1, keepdims=True).astype(np.float64)
+        cm_plot = np.divide(cm, rows, out=np.zeros(cm.shape, np.float64),
+                            where=rows > 0)
+    else:
+        cm_plot = cm
+    fig, ax = plt.subplots(figsize=figsize)
+    im = ax.imshow(cm_plot, interpolation="nearest", cmap=cmap)
+    ax.grid(False)
+    ax.set_title(title)
+    ticks = np.arange(len(classes))
+    ax.set_xticks(ticks)
+    ax.set_xticklabels(classes, rotation=45)
+    ax.set_yticks(ticks)
+    ax.set_yticklabels(classes)
+    fmt = ".2f" if normalize else "d"
+    thresh = 0.5 if normalize else (cm_plot.max() / 2 if cm_plot.size else 0)
+    for i in range(cm_plot.shape[0]):
+        for j in range(cm_plot.shape[1]):
+            ax.text(j, i, format(cm_plot[i, j], fmt),
+                    horizontalalignment="center",
+                    color="white" if cm_plot[i, j] > thresh else "black")
+    ax.set_ylabel("True label")
+    ax.set_xlabel("Predicted label")
+    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    fig.tight_layout()
+    if savefig:
+        fig.savefig(savefig, dpi=90)
+    return fig
+
+
+def plot_precision_recall_curve(precision, recall, figsize=(12, 12),
+                                xlim=None, ylim=None, title="", savefig=""):
+    """Step-style precision-recall curve (reference viz.py:444-468).
+    Returns the figure; saves to `savefig` when given."""
+    title = title or "Precision-Recall curve"
+    xlim = xlim or [0.75, 1.0]
+    ylim = ylim or [0.75, 1.0]
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.step(recall, precision, linewidth=2, color="tab:blue", where="post")
+    ax.set_xlabel("Recall", fontsize=22)
+    ax.set_ylabel("Precision", fontsize=22)
+    ax.set_xlim(xlim)
+    ax.set_ylim(ylim)
+    ax.set_title(title, fontsize=24)
+    fig.tight_layout()
+    if savefig:
+        fig.savefig(savefig, dpi=90)
+    return fig
+
+
 def get_linkage(model, **kwargs):
     """scipy linkage matrix from a fitted sklearn AgglomerativeClustering
     model (needs `compute_distances=True`).

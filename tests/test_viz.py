@@ -116,3 +116,55 @@ def test_eval_figure_tsne_panel(tmp_path):
             np.sort(rng.rand(N - 1)), np.full(N - 1, 2.0)]),
         screenshot=str(tmp_path / "p.png"), embedding_method="tsne")
     assert (tmp_path / "p.png").exists()
+
+
+def test_plot_confusion_matrix_saves_png(tmp_path):
+    """plot_confusion_matrix (reference viz.py:375-441): annotated heatmap,
+    raw and row-normalized."""
+    import matplotlib.pyplot as plt
+
+    from hpcs_tpu.utils.viz import plot_confusion_matrix
+
+    cm = np.array([[5, 1, 0], [2, 7, 1], [0, 0, 9]])
+    out = tmp_path / "cm.png"
+    fig = plot_confusion_matrix(cm, classes=["a", "b", "c"], savefig=str(out))
+    plt.close(fig)
+    assert out.exists() and out.stat().st_size > 5_000
+    out2 = tmp_path / "cm_norm.png"
+    fig = plot_confusion_matrix(cm, classes=["a", "b", "c"], normalize=True,
+                                savefig=str(out2))
+    plt.close(fig)
+    assert out2.exists()
+
+
+def test_plot_precision_recall_curve_saves_png(tmp_path):
+    import matplotlib.pyplot as plt
+
+    from hpcs_tpu.utils.viz import plot_precision_recall_curve
+
+    rec = np.linspace(1.0, 0.8, 10)
+    prec = np.linspace(0.8, 1.0, 10)
+    out = tmp_path / "pr.png"
+    fig = plot_precision_recall_curve(prec, rec, savefig=str(out))
+    plt.close(fig)
+    assert out.exists() and out.stat().st_size > 5_000
+
+
+def test_plot_clustering_and_graph(tmp_path):
+    """plot_clustering (ref viz.py:187-199) and plot_graph (ref :250-281)
+    render on explicit axes and save headlessly."""
+    import matplotlib.pyplot as plt
+
+    from hpcs_tpu.utils.viz import plot_clustering, plot_graph
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 2)
+    y = np.repeat(np.arange(4), 10)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 5))
+    plot_clustering(ax1, X, y, idx=[0, 5, 10])
+    e = np.stack([np.arange(39), np.arange(1, 40)])
+    plot_graph(ax2, X, e, rng.rand(39))
+    out = tmp_path / "cluster_graph.png"
+    fig.savefig(out, dpi=80)
+    plt.close(fig)
+    assert out.exists() and out.stat().st_size > 5_000
