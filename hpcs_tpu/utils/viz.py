@@ -7,11 +7,16 @@ renders through pyvista/UMAP in an interactive window (not headless-safe and
 pyvista/umap are heavyweight GUI deps); here everything is matplotlib Agg,
 saving straight to PNG, with a PCA projection replacing UMAP/TSNE panels.
 """
+import sys
+
 import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg")
+# headless-safe default, but do NOT clobber a notebook's inline backend
+# (figures returned by plt.show() would silently stop embedding)
+if "ipykernel" not in sys.modules:
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
