@@ -190,8 +190,19 @@ _MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 def _merge_cap(M):
     """Per-round merge cap.  The Z buffer in linkage_from_distances_mnn is
     padded by _merge_cap(N) so the contiguous dynamic_update_slice write in
-    the round body can never clamp — change the two together."""
-    return max(64, min(M // 8, 256))
+    the round body can never clamp — change the two together.
+
+    M // 8 everywhere up to 512: the old 256 ceiling was BINDING at the big
+    stages (measured on clustered N=4096 data: stages M=4096/3072/2304 ran
+    4/3/3 fully-capped rounds; at cap M//8 they run 3/2/2 with headroom),
+    and big-stage rounds dominate — each costs several [M, M] passes, so
+    one round saved at M=4096 outweighs the whole M=128 tail.  The extra
+    per-round cost of a larger K (the [3K, M] x [M, M] scatter-backs) is
+    MXU-bound and small next to the [M, M] VPU/HBM passes a round pays
+    regardless.  Merging any subset of mutual pairs is exact (see
+    _mnn_round_body), so the cap value never affects the dendrogram.
+    """
+    return max(64, min(M // 8, 512))
 
 
 def _mnn_round_body(M, N, method):
