@@ -559,21 +559,38 @@ def build_cut_tables(Z):
     """
     N = Z.shape[0] + 1
     nodes = jnp.arange(2 * N - 1, dtype=jnp.int32)
-    a = Z[:, 0].astype(jnp.int32)
-    b = Z[:, 1].astype(jnp.int32)
-    rows = jnp.arange(N - 1, dtype=jnp.int32)
-    hit_a = nodes[:, None] == a[None, :]
-    hit_b = nodes[:, None] == b[None, :]
-    hit = hit_a | hit_b
-    child_row = jnp.max(jnp.where(hit, rows[None, :], -1), axis=1)
-    is_b = jnp.any(hit_b, axis=1).astype(jnp.int32)
-    is_root = child_row < 0
-    child_row = jnp.where(is_root, N - 1, child_row)
+    child_row, is_b = _invert_children(Z)
+    is_root = nodes == 2 * N - 2
     parent = jnp.where(is_root, nodes, N + child_row).astype(jnp.int32)
     ups = [parent]
     for _ in range(_doubling_steps(N) - 1):
         ups.append(ups[-1][ups[-1]])
     return child_row, jnp.stack(ups), is_b
+
+
+def _invert_children(Z):
+    """(child_row, is_b) for every node, in O(N log N) instead of the
+    [2N-1, N-1] hit-matrix compare the cut paths used before (33M-element
+    masks per object at N=4096).
+
+    Every node id except the root is a child of EXACTLY one merge row, and
+    the root is always id 2N-2, so sorting concat(Z[:,0], Z[:,1]) yields
+    exactly 0..2N-3 in order — the permutation that sorts the child ids IS
+    the inverse map.  child_row[root] = N-1 (the sentinel larger than any
+    cut level, appended).
+    """
+    N = Z.shape[0] + 1
+    a = Z[:, 0].astype(jnp.int32)
+    b = Z[:, 1].astype(jnp.int32)
+    ids = jnp.concatenate([a, b])
+    rows2 = jnp.tile(jnp.arange(N - 1, dtype=jnp.int32), 2)
+    isb2 = jnp.concatenate([jnp.zeros((N - 1,), jnp.int32),
+                            jnp.ones((N - 1,), jnp.int32)])
+    order = jnp.argsort(ids)
+    child_row = jnp.concatenate(
+        [rows2[order], jnp.full((1,), N - 1, jnp.int32)])
+    is_b = jnp.concatenate([isb2[order], jnp.zeros((1,), jnp.int32)])
+    return child_row, is_b
 
 
 def _climb_to_cut(child_row, up, num_merges):
@@ -665,21 +682,16 @@ def cut_maxclust_many(Z, ks):
 def _roots_after_merges(Z, num_merges):
     """Root node id of every leaf after applying the first `num_merges` rows.
 
-    The parent table is built with a compare + one-hot-select (each node is a
-    child of at most one merge row, so a masked max over rows selects its
-    parent) instead of scatters, which serialize on TPU.
+    The child -> merge-row relation comes from the O(N log N) sort-based
+    inversion (_invert_children) — no scatters (which serialize on TPU) and
+    no [2N-1, N-1] hit matrix (33M-element masks per object at N=4096).
     """
     N = Z.shape[0] + 1
     nodes = jnp.arange(2 * N - 1, dtype=jnp.int32)
-    merge_idx = jnp.arange(N - 1)
-    apply_row = merge_idx < num_merges
-    a = Z[:, 0].astype(jnp.int32)
-    b = Z[:, 1].astype(jnp.int32)
-    new_ids = (N + merge_idx).astype(jnp.int32)
-    hit = ((nodes[:, None] == a[None, :]) | (nodes[:, None] == b[None, :])) \
-        & apply_row[None, :]  # [2N-1, N-1]
-    assigned = jnp.max(jnp.where(hit, new_ids[None, :], -1), axis=1)
-    parent = jnp.where(assigned >= 0, assigned, nodes)
+    child_row, _ = _invert_children(Z)
+    # root's sentinel row N-1 is never < num_merges (num_merges <= N-1)
+    applied = child_row < num_merges
+    parent = jnp.where(applied, N + child_row, nodes).astype(jnp.int32)
     # pointer doubling to the root
     for _ in range(_doubling_steps(N)):
         parent = parent[parent]
@@ -697,12 +709,9 @@ def cut_maxclust(Z, k):
     N = Z.shape[0] + 1
     k = jnp.clip(k, 1, N)
     roots = _roots_after_merges(Z, N - k)
-    # relabel to consecutive ids (ascending root order): presence via a
-    # compare-any (scatter-free), then cumsum ranks
-    present = jnp.any(roots[None, :] == jnp.arange(2 * N - 1, dtype=jnp.int32)[:, None],
-                      axis=1).astype(jnp.int32)
-    rank = jnp.cumsum(present) - 1
-    return rank[roots].astype(jnp.int32)
+    # relabel to consecutive ids (ascending root order) via the sort-based
+    # relabel — O(N log N), vs the [2N-1, N] compare-any this used before
+    return _relabel_consecutive(roots)
 
 
 @jax.jit
