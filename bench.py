@@ -38,9 +38,17 @@ FALLBACK_LAST_GOOD = 1328.04  # BENCH_r02 driver-captured value
 METRIC = f"vn_dgcnn_infer_clouds_per_sec_per_chip_{NPOINTS}pt"
 
 ATTEMPTS = int(os.environ.get("HPCS_BENCH_ATTEMPTS", "3"))
-# cold compiles through the tunnel can take minutes
-ATTEMPT_TIMEOUT_S = int(os.environ.get("HPCS_BENCH_ATTEMPT_TIMEOUT_S", "3000"))
+# attempt 1 gets the cold-compile budget; later attempts are retries after
+# a flake/hang and should fail fast so a dead tunnel can't eat hours
+_DEFAULT_TIMEOUTS = (2400, 900, 900)
+ATTEMPT_TIMEOUT_S = int(os.environ.get("HPCS_BENCH_ATTEMPT_TIMEOUT_S", "0"))
 RETRY_SLEEP_S = int(os.environ.get("HPCS_BENCH_RETRY_SLEEP_S", "60"))
+
+
+def _attempt_timeout(attempt):
+    if ATTEMPT_TIMEOUT_S > 0:
+        return ATTEMPT_TIMEOUT_S
+    return _DEFAULT_TIMEOUTS[min(attempt - 1, len(_DEFAULT_TIMEOUTS) - 1)]
 
 
 def log(*a):
@@ -294,15 +302,16 @@ def run_attempts():
     for attempt in range(1, ATTEMPTS + 1):
         if os.path.exists(out_path):
             os.remove(out_path)
-        log(f"--- bench attempt {attempt}/{ATTEMPTS} ---")
+        timeout_s = _attempt_timeout(attempt)
+        log(f"--- bench attempt {attempt}/{ATTEMPTS} (timeout {timeout_s}s) ---")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", out_path],
-                cwd=REPO, timeout=ATTEMPT_TIMEOUT_S,
+                cwd=REPO, timeout=timeout_s,
             )
             rc = proc.returncode
         except subprocess.TimeoutExpired:
-            rc, last_err = -1, f"attempt {attempt}: timeout after {ATTEMPT_TIMEOUT_S}s"
+            rc, last_err = -1, f"attempt {attempt}: timeout after {timeout_s}s"
             log(last_err)
         result = None
         if os.path.exists(out_path):
