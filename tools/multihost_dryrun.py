@@ -2,7 +2,7 @@
 """Multi-host (DCN) dryrun: 2 OS processes x 4 virtual CPU devices each,
 one full data-parallel training step over the 8-device global hybrid mesh.
 
-Run (driver-style evidence, writes MULTIHOST_DCN_r02.json):
+Run (driver-style evidence, writes MULTIHOST_DCN_r04.json):
     python tools/multihost_dryrun.py
 
 Each process: per-host input pipeline (its own dataset slice), global batch
@@ -101,7 +101,7 @@ def main():
                 result["step_evidence"] = json.loads(line)
         if rc != 0:
             result["stderr_tail"] = err[-2000:]
-    with open(os.path.join(REPO, "MULTIHOST_DCN_r02.json"), "w") as f:
+    with open(os.path.join(REPO, "MULTIHOST_DCN_r04.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     sys.exit(0 if result["ok"] else 1)
