@@ -13,7 +13,12 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# repo checkout layout by default; HPCS_TPU_NATIVE_SRC overrides for
+# pip-installed environments that keep the C++ source elsewhere (without it
+# they silently use the numpy fallback, see pyproject.toml)
+_NATIVE_DIR = os.environ.get(
+    "HPCS_TPU_NATIVE_SRC",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "fast_txt.cpp"))
 _SO = os.path.abspath(os.path.join(_NATIVE_DIR, "build", "libfast_txt.so"))
 
