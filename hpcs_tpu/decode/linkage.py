@@ -184,6 +184,14 @@ def linkage_from_distances(D, method="complete"):
 
 
 
+# NN+tie selection strategy per MNN round: "two_pass" (min reduce, then a
+# tie-masked hash argmin — the measured round-3 baseline) or "fused" (one
+# variadic lax.reduce computing the lexicographic (d, h, row) minimum —
+# saves one full [M, M] read per round; opt-in until TPU-benchmarked)
+import os as _os
+
+_NN_REDUCE_MODE = _os.environ.get("HPCS_TPU_NN_REDUCE", "two_pass")
+
 _MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 
 
@@ -240,7 +248,6 @@ def _mnn_round_body(M, N, method):
         # D is exactly symmetric here, so reducing over axis 0 (the major
         # axis — lanes accumulate over rows, measurably faster on TPU than
         # the minor-axis reduce) gives identical values to a row reduce.
-        nn_val = jnp.min(D, axis=0)
         # EXACT-TIE break by a symmetric hash of the two cluster ids,
         # consulted only where D bit-equals the row min.  Real (especially
         # early-training) embeddings are near-parallel, so fp32 cosine
@@ -266,10 +273,35 @@ def _mnn_round_body(M, N, method):
         # non-candidate sentinel (a collision would let argmin pick a
         # non-tied row as NN — wrong partner at the recorded min distance)
         h = (h ^ (h >> 13)) & jnp.uint32(0x7FFFFFFF)
-        tie = D == nn_val[None, :]
-        nn_idx = jnp.argmin(
-            jnp.where(tie, h, jnp.uint32(0xFFFFFFFF)), axis=0
-        ).astype(jnp.int32)
+        if _NN_REDUCE_MODE == "fused":
+            # single [M, M] pass: variadic lax.reduce computing the
+            # lexicographic (d, h, row) minimum per column — saves one full
+            # D read vs min-then-argmin (the combiner is associative and,
+            # with the row index as final tiebreak, yields EXACTLY the
+            # two-pass result: lowest row among equal (d, h)).  Opt-in via
+            # HPCS_TPU_NN_REDUCE=fused until TPU-benchmarked.
+            rows_idx = jnp.broadcast_to(
+                jnp.arange(M, dtype=jnp.int32)[:, None], (M, M))
+
+            def _lex_min(x, y):
+                dx, hx, ix = x
+                dy, hy, iy = y
+                ty = (dy < dx) | ((dy == dx) & (
+                    (hy < hx) | ((hy == hx) & (iy < ix))))
+                return (jnp.where(ty, dy, dx), jnp.where(ty, hy, hx),
+                        jnp.where(ty, iy, ix))
+
+            nn_val, _, nn_idx = jax.lax.reduce(
+                (D, h, rows_idx),
+                (jnp.float32(_INF * 2), jnp.uint32(0x7FFFFFFF),
+                 jnp.int32(M - 1)),
+                _lex_min, (0,))
+        else:
+            nn_val = jnp.min(D, axis=0)
+            tie = D == nn_val[None, :]
+            nn_idx = jnp.argmin(
+                jnp.where(tie, h, jnp.uint32(0xFFFFFFFF)), axis=0
+            ).astype(jnp.int32)
         # inactive columns hold _INF, so an active row's NN is always an
         # active slot — no active[nn_idx] gather needed.  [M]-indexed
         # gathers are ~65-100 us each on TPU (latency-bound); the nn∘nn

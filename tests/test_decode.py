@@ -439,3 +439,29 @@ def test_mnn_linkage_tie_heavy_duplicates(method):
     from sklearn.metrics.cluster import adjusted_rand_score
 
     assert adjusted_rand_score(labels, gt) == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("method", ["complete", "single", "average"])
+def test_fused_nn_reduce_matches_two_pass(method):
+    """HPCS_TPU_NN_REDUCE=fused (single variadic lax.reduce for NN + tie
+    break) must be BIT-IDENTICAL to the two-pass baseline on random and
+    tie-heavy data — the lexicographic (d, h, row) combiner reproduces
+    argmin-of-hash-among-ties exactly."""
+    import importlib
+
+    L = importlib.import_module("hpcs_tpu.decode.linkage")
+    rng = np.random.RandomState(3)
+    base = rng.randn(25, 4).astype(np.float32)
+    for X in (rng.randn(150, 4).astype(np.float32), np.vstack([base] * 5)):
+        D = L.cosine_distance_matrix(jnp.asarray(X))
+        old = L._NN_REDUCE_MODE
+        try:
+            L._NN_REDUCE_MODE = "two_pass"
+            Z1 = np.asarray(L.linkage_from_distances_mnn.__wrapped__(
+                D, method=method))
+            L._NN_REDUCE_MODE = "fused"
+            Z2 = np.asarray(L.linkage_from_distances_mnn.__wrapped__(
+                D, method=method))
+        finally:
+            L._NN_REDUCE_MODE = old
+        np.testing.assert_array_equal(Z1, Z2)
