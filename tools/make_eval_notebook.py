@@ -167,6 +167,129 @@ plt.show()
 '''
 
 
+CELL_SETUP_PARTNET = '''\
+%matplotlib inline
+# Per-category evaluation on mini-PartNet (real h5 format) — the
+# reference's notebooks/PartNet.ipynb deliverable on the TPU-native stack.
+import os, sys
+sys.path.insert(0, os.path.abspath('..'))  # executes from examples/
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import matplotlib.pyplot as plt
+
+from hpcs_tpu.data import DataLoader, PartNetDataset
+from hpcs_tpu.models import HypHCSystem, ModelConfig
+from hpcs_tpu.utils.checkpoint import load_config, restore_checkpoint
+
+CKPT = os.path.abspath('%CKPT%')
+H5 = os.path.abspath(os.path.join('..', 'data', 'PartNet', 'sem_seg_h5',
+                                  'Bottle-3'))
+NPOINTS, BATCH = 256, 2
+
+cfg_dict = load_config(CKPT)
+def _freeze(h):
+    return tuple(tuple(tuple(ch) for ch in lvl) for lvl in h)
+cfg_dict['hierarchy_list'] = _freeze(cfg_dict.get('hierarchy_list', ()))
+cfg = ModelConfig(**cfg_dict)
+system = HypHCSystem(cfg)
+print('restored config:', {k: cfg_dict[k] for k in
+      ('model_name', 'dataset', 'eucl_dim', 'hyp_dim', 'num_class', 'k',
+       'hierarchical')})
+'''
+
+CELL_HELPERS_PARTNET = '''\
+from hpcs_tpu.loss import get_logits
+from hpcs_tpu.utils.viz import plot_confusion_matrix, plot_hyperbolic_eval
+
+_state = {}
+
+def _restored_state(sample):
+    if 'state' not in _state:
+        st = system.init(jax.random.PRNGKey(0), sample)
+        st, _, _ = restore_checkpoint(CKPT, st)
+        _state['state'] = st
+    return _state['state']
+
+def evaluate_split(split='test', max_objects=4, plot=True):
+    ds = PartNetDataset(os.path.join(H5, f'{split}_files.txt'), NPOINTS)
+    loader = DataLoader(ds, BATCH)
+    rows, n_shown = [], 0
+    y_all, yhat_all = [], []
+    key = jax.random.PRNGKey(7)
+    for bi, batch in enumerate(loader):
+        state = _restored_state(batch)
+        logs, extras = system.test_step(state, batch,
+                                        jax.random.fold_in(key, bi),
+                                        jnp.float32(system.temperature))
+        flat = extras['x_poincare'].reshape(-1, extras['x_poincare'].shape[-1])
+        logits = get_logits(system.loss_cfg, state.params['cosface_W'], flat,
+                            jnp.asarray(batch['labels']).reshape(-1))
+        yhat = np.asarray(jnp.argmax(logits, -1)).reshape(batch['labels'].shape)
+        for oi in range(batch['points'].shape[0]):
+            if len(rows) >= max_objects:
+                break
+            y = batch['labels'][oi]
+            rows.append(dict(split=split, best_k=int(extras['best_k'][oi]),
+                             true_parts=len(np.unique(y)),
+                             score=float(extras['best_score'][oi])))
+            y_all.append(y); yhat_all.append(yhat[oi])
+            if plot and n_shown < 2:
+                fig = plot_hyperbolic_eval(
+                    x=np.asarray(batch['points'][oi]), y=np.asarray(y),
+                    y_pred=np.asarray(extras['pred'][oi]),
+                    emb_hidden=np.asarray(extras['x_euclidean'][oi]),
+                    emb_poincare=np.asarray(extras['x_poincare'][oi]),
+                    linkage_matrix=np.asarray(extras['linkage'][oi]),
+                    k=int(extras['best_k'][oi]),
+                    score=float(extras['best_score'][oi]), show=True)
+                plt.show()
+                n_shown += 1
+    y_cat = np.concatenate(y_all); yhat_cat = np.concatenate(yhat_all)
+    parts = np.unique(np.concatenate([y_cat, yhat_cat]))
+    lut = {p: i for i, p in enumerate(parts)}
+    cm = np.zeros((len(parts), len(parts)), int)
+    for t, p in zip(y_cat, yhat_cat):
+        cm[lut[t], lut[p]] += 1
+    if plot:
+        fig = plot_confusion_matrix(cm, classes=[f'part {p}' for p in parts],
+                                    normalize=True, figsize=(5, 5),
+                                    title='Bottle level-3: part confusion '
+                                          '(CosFace preds)')
+        plt.show()
+    return rows
+'''
+
+CELL_SUMMARY_PARTNET = '''\
+import pandas as pd
+df = pd.DataFrame(all_rows)
+print(df.to_string(index=False))
+print(f"\\nmean decode score (best-k IoU): {df['score'].mean():.4f}")
+'''
+
+
+def build_partnet(ckpt):
+    return {"cells": [
+        md("# Per-category evaluation — mini-PartNet (Bottle, level 3)\n\n"
+           "The reference's `notebooks/PartNet.ipynb` deliverable: restore a "
+           "converged checkpoint (hierarchical CosFace + HypHC loss, "
+           "trained by `train.py --dataset partnet --category Bottle`), "
+           "render per-object hyperbolic eval panels, part confusion, "
+           "score table."),
+        code(CELL_SETUP_PARTNET.replace("%CKPT%", ckpt)),
+        code(CELL_HELPERS_PARTNET),
+        md("## Bottle — test split"),
+        code("all_rows = []\nall_rows += evaluate_split('test')"),
+        md("## Summary"),
+        code(CELL_SUMMARY_PARTNET),
+    ], "metadata": {"kernelspec": {"display_name": "Python 3",
+                                   "language": "python",
+                                   "name": "python3"},
+                    "language_info": {"name": "python"}},
+        "nbformat": 4, "nbformat_minor": 5}
+
+
 def build(ckpt):
     cells = [
         md("# Per-category evaluation — mini-ShapeNet\n\n"
@@ -197,14 +320,24 @@ def build(ckpt):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--ckpt", default=DEFAULT_CKPT,
+    ap.add_argument("--ckpt", default=None,
                     help="checkpoint dir (relative to examples/)")
+    ap.add_argument("--dataset", default="shapenet",
+                    choices=["shapenet", "partnet"])
     ap.add_argument("--execute", action="store_true")
     args = ap.parse_args()
 
-    out = os.path.join(ROOT, "examples", "shapenet_eval.ipynb")
+    if args.dataset == "partnet":
+        ckpt = args.ckpt or os.path.join(
+            "..", "benchmarks", "_partnet_bottle_ckpt")
+        out = os.path.join(ROOT, "examples", "partnet_eval.ipynb")
+        nb = build_partnet(ckpt)
+    else:
+        ckpt = args.ckpt or DEFAULT_CKPT
+        out = os.path.join(ROOT, "examples", "shapenet_eval.ipynb")
+        nb = build(ckpt)
     with open(out, "w") as f:
-        json.dump(build(args.ckpt), f, indent=1)
+        json.dump(nb, f, indent=1)
     print(f"wrote {out}")
     if args.execute:
         import subprocess
