@@ -214,3 +214,25 @@ def test_import_checkpoint_rehydrates_hparams(tmp_path):
         want = ref(torch.from_numpy(pts).transpose(2, 1),
                    torch.from_numpy(label)).numpy()
     np.testing.assert_allclose(np.asarray(x_e), want, atol=2e-3, rtol=1e-2)
+
+
+def test_hparams_mapping_edge_cases():
+    """reference_hparams_to_config_kwargs: raw state dicts (no
+    hyper_parameters) yield {}, partial hparams map only what exists, and
+    ShapeNet-style payloads (no hierarchy keys) stay dataset-agnostic."""
+    from hpcs_tpu.utils.torch_import import reference_hparams_to_config_kwargs
+
+    assert reference_hparams_to_config_kwargs({}) == {}
+    assert reference_hparams_to_config_kwargs({"state_dict": {}}) == {}
+    out = reference_hparams_to_config_kwargs(
+        {"hyper_parameters": {"euclidean_size": 50, "hyp_size": 50,
+                              "num_class": 50, "lr": 0.001,
+                              "class_vector": False}})
+    assert out["eucl_dim"] == 50 and out["hyp_dim"] == 50
+    assert out["num_class"] == 50 and out["lr"] == 0.001
+    assert "dataset" not in out  # no hierarchy keys -> not forced to partnet
+    # partnet markers force dataset + dummy category
+    out = reference_hparams_to_config_kwargs(
+        {"hyper_parameters": {"euclidean_size": 4, "hyp_size": 4,
+                              "hierarchical": True, "level": 3}})
+    assert out["dataset"] == "partnet" and out["num_categories"] == 1
