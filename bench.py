@@ -9,12 +9,15 @@ throughput (torch forward of /root/reference's VN_DGCNN_partseg on the same
 shapes) — cached in benchmarks/baseline_cpu.json after first measurement.
 North-star target (BASELINE.json): >= 50x.
 
-Resilience (VERDICT r3 #1): the axon TPU tunnel can fail backend init
-transiently (BENCH_r03 rc=1, "Unable to initialize backend 'axon'").  The
-measurement therefore runs in a CHILD process (fresh backend bring-up per
-attempt) with bounded retries; the parent ALWAYS prints the one-line JSON —
-on persistent failure it carries an "error" field and the last-known-good
-value, clearly labeled via "value_is_last_known_good": true.
+Resilience (VERDICT r3 #1 + r4 #1): the axon TPU tunnel can fail backend
+init transiently (BENCH_r03 rc=1) or hang entirely (BENCH_r04 rc=124 — the
+old retry ladder overran the driver's window).  A LIVENESS PROBE runs
+first: a tiny child that only initializes the backend and jits one op,
+<=150 s, one retry.  Only a live probe unlocks the real measurement (child
+process, bounded retries).  The parent ALWAYS prints the one-line JSON; on
+persistent failure "value" is null (never a stale number — ADVICE r4) with
+"error" and a separate clearly-named "last_known_good" field.  Dead-tunnel
+worst case ~6 min; full worst case ~41 min.
 
 Secondary metrics (driver-visible regression guards for training + decode):
   train_step_ms_b8_n1024 — flagship train step (fwd+losses+bwd+fused RAdam)
@@ -37,12 +40,16 @@ FALLBACK_CPU_CPS = 0.717  # measured 2026-08-16 on this image (batch 4)
 FALLBACK_LAST_GOOD = 1328.04  # BENCH_r02 driver-captured value
 METRIC = f"vn_dgcnn_infer_clouds_per_sec_per_chip_{NPOINTS}pt"
 
-ATTEMPTS = int(os.environ.get("HPCS_BENCH_ATTEMPTS", "3"))
+ATTEMPTS = int(os.environ.get("HPCS_BENCH_ATTEMPTS", "2"))
 # attempt 1 gets the cold-compile budget; later attempts are retries after
-# a flake/hang and should fail fast so a dead tunnel can't eat hours
-_DEFAULT_TIMEOUTS = (2400, 900, 900)
+# a flake/hang and should fail fast so a dead tunnel can't eat hours.
+# TOTAL worst case must stay inside the driver's window (~45 min; BENCH_r04
+# rc=124 was the ladder overrunning it): probe 2x150s + 1500 + 600 + sleeps
+# ~= 41 min.  A dead tunnel exits at the probe stage in <= ~6 minutes.
+_DEFAULT_TIMEOUTS = (1500, 600)
 ATTEMPT_TIMEOUT_S = int(os.environ.get("HPCS_BENCH_ATTEMPT_TIMEOUT_S", "0"))
-RETRY_SLEEP_S = int(os.environ.get("HPCS_BENCH_RETRY_SLEEP_S", "60"))
+RETRY_SLEEP_S = int(os.environ.get("HPCS_BENCH_RETRY_SLEEP_S", "30"))
+PROBE_TIMEOUT_S = int(os.environ.get("HPCS_BENCH_PROBE_TIMEOUT_S", "150"))
 
 
 def _attempt_timeout(attempt):
@@ -83,6 +90,8 @@ def last_known_good():
             with open(path) as f:
                 rec = json.load(f)
             parsed = rec.get("parsed") or {}
+            if parsed.get("error") or parsed.get("value_is_last_known_good"):
+                continue  # that round's value was itself stale
             if parsed.get("metric") == METRIC and isinstance(
                 parsed.get("value"), (int, float)
             ):
@@ -294,10 +303,40 @@ def child_main(out_path):
 # --------------------------------------------------------------- parent ----
 
 
+def probe_backend():
+    """Attempt 0 (VERDICT r4 #1): a tiny child that only brings up the
+    backend and jits a 1-op function, short timeout, one retry.  Only a live
+    probe unlocks the expensive cold-compile measurement attempt — a dead
+    tunnel must produce the fallback JSON within ~6 minutes, not ~45."""
+    code = ("import jax; "
+            "print('probe_ok', float(jax.jit(lambda x: x + 1.0)(1.0)), "
+            "jax.default_backend())")
+    for attempt in (1, 2):
+        log(f"--- backend liveness probe {attempt}/2 "
+            f"(timeout {PROBE_TIMEOUT_S}s) ---")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], cwd=REPO,
+                timeout=PROBE_TIMEOUT_S, capture_output=True, text=True,
+            )
+            if proc.returncode == 0 and "probe_ok" in proc.stdout:
+                log(f"probe ok: {proc.stdout.strip().splitlines()[-1]}")
+                return True
+            log(f"probe rc={proc.returncode}: "
+                f"{(proc.stderr or '').strip().splitlines()[-1:]}")
+        except subprocess.TimeoutExpired:
+            log(f"probe timed out after {PROBE_TIMEOUT_S}s")
+        if attempt == 1:
+            time.sleep(10)
+    return False
+
+
 def run_attempts():
     """Launch the child with bounded retries; return (result_dict, error)."""
     out_path = os.path.join(
         REPO, "benchmarks", f"_bench_child_{os.getpid()}.json")
+    if not probe_backend():
+        return None, "backend liveness probe failed twice (tunnel dead?)"
     last_err = None
     for attempt in range(1, ATTEMPTS + 1):
         if os.path.exists(out_path):
@@ -355,14 +394,18 @@ def main():
         if result.get("secondary_errors"):
             line["secondary_errors"] = result["secondary_errors"]
     else:
+        # value is null so a flag-unaware consumer can never mistake stale
+        # data for a fresh measurement (ADVICE r4); the last driver-captured
+        # number rides along in its own clearly-named field
         lkg = last_known_good()
         line = {
             "metric": METRIC,
-            "value": round(lkg, 2),
+            "value": None,
             "unit": "clouds/sec",
-            "vs_baseline": round(lkg / cpu_cps, 2),
-            "error": f"measurement failed after {ATTEMPTS} attempts: {err}",
-            "value_is_last_known_good": True,
+            "vs_baseline": None,
+            "error": f"measurement failed: {err}",
+            "last_known_good": round(lkg, 2),
+            "last_known_good_vs_baseline": round(lkg / cpu_cps, 2),
         }
     print(json.dumps(line))
 

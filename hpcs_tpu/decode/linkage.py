@@ -762,7 +762,10 @@ def cut_maxclust_fcluster(Z, k):
        discovery order of a pre-order DFS that descends INTERNAL children
        before labeling LEAF children (left-first within each class); when
        k >= N it special-cases to identity labels.  Both rules validated
-       against fcluster on ~9k random/tied cases (tests/test_decode.py).
+       bitwise against fcluster (tests/test_decode.py): 84 fast cases
+       (3 methods x tied/untied x 14 k's) plus a ~2.3k-case seeded sweep
+       in the slow suite (30 seeds x 3 methods x full k range, mixed
+       duplicate-point tie structure).
 
     Discovery order equals the order of each cluster's first leaf in the
     reordered tree's leaf sequence, so it is computed in parallel rather
@@ -806,9 +809,11 @@ def cut_maxclust_fcluster(Z, k):
     pos = s[:N]  # leaf index in the transformed leaf sequence, a permutation
 
     # min leaf position per cluster root: sort by (root, pos), forward-fill
-    # each group's first pos, unsort
-    key = roots * N + pos
-    order = jnp.argsort(key)
+    # each group's first pos, unsort.  Two stable argsorts instead of a
+    # packed scalar key: roots reaches 2N-2, so roots*N+pos (~2N^2) would
+    # overflow int32 at N >= ~32768 (ADVICE r4)
+    by_pos = jnp.argsort(pos, stable=True)
+    order = by_pos[jnp.argsort(roots[by_pos], stable=True)]
     rs = roots[order]
     ps = pos[order]
     boundary = jnp.concatenate(

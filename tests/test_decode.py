@@ -236,6 +236,33 @@ def test_cut_maxclust_fcluster_matches_scipy_bitwise(method):
             np.testing.assert_array_equal(got, want, err_msg=f"{name} k={k}")
 
 
+@pytest.mark.slow
+def test_cut_maxclust_fcluster_bulk_seeded_sweep():
+    """Bulk bitwise fcluster equality: 30 seeds x 3 methods x every k in
+    1..N+2, with per-seed mixed tie structure (a random subset of points
+    duplicated 2-3x so many merge heights collide exactly) — ~2.3k cases
+    backing the coverage claim in cut_maxclust_fcluster's docstring."""
+    from scipy.cluster.hierarchy import fcluster
+    from scipy.cluster.hierarchy import linkage as scipy_linkage
+
+    from hpcs_tpu.decode import cut_maxclust_fcluster
+
+    for seed in range(30):
+        rng = np.random.RandomState(1000 + seed)
+        base = rng.randn(rng.randint(10, 18), 3)
+        reps = rng.randint(1, 4, size=len(base))  # 1-3 copies per point
+        X = np.repeat(base, reps, axis=0)
+        n = len(X)
+        for method in ("complete", "single", "average"):
+            Z = scipy_linkage(X, method=method, metric="euclidean")
+            Zj = jnp.asarray(Z)
+            for k in range(1, n + 3):
+                want = fcluster(Z, k, "maxclust") - 1
+                got = np.asarray(cut_maxclust_fcluster(Zj, jnp.int32(k)))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"seed={seed} method={method} k={k}")
+
+
 def test_weighted_jaccard_matches_reference_pipeline_bitwise():
     """End-to-end metric comparability (VERDICT r3 #9): our weighted_jaccard
     on a cut_maxclust_fcluster cut equals the reference's

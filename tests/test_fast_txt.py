@@ -46,6 +46,10 @@ def test_speedup_over_numpy(txt_file):
     The precise ratio lives in benchmarks/, not here.
     """
     path, _ = txt_file
+    # a silent numpy fallback would trivially "pass" the relaxed 3x floor
+    # below while the native parser is actually broken (ADVICE r4) — require
+    # the .so to have genuinely loaded before timing anything
+    assert available(), "native parser fell back to numpy; speed test void"
     loadtxt(path, n_cols=7)  # ensure built
     np.loadtxt(path)  # warm the file cache for both sides
     t_native, t_numpy = [], []
