@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--num_class", type=int, default=50)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 backbone compute (decode math stays fp32)")
     args = ap.parse_args()
 
     from hpcs_tpu.data import DataLoader, SyntheticPartDataset
@@ -32,6 +34,7 @@ def main():
         dataset="shapenet", num_class=args.num_class, num_categories=16,
         fixed_points=args.n, eucl_dim=16, hyp_dim=16, k=20,
         t_per_anchor=20, num_triplets=4096, temperature=0.1,
+        bf16=args.bf16,
     )
     system = HypHCSystem(cfg)
     ds = SyntheticPartDataset(
