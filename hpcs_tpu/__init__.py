@@ -10,15 +10,28 @@ __version__ = "0.1.0"
 
 
 def _host_fingerprint():
-    """Short hash of the host CPU feature set.  XLA:CPU caches AOT machine
-    code; loading an entry compiled on a host with different features logs
-    'could lead to execution errors such as SIGILL' and can miscompute, so
-    CPU cache entries must never cross machines (TPU entries are keyed by
-    the device kind and are safe either way)."""
+    """Short hash of the host CPU feature set + jax/jaxlib versions.
+
+    XLA:CPU caches AOT machine code; loading an entry compiled on a host
+    with different features logs 'could lead to execution errors such as
+    SIGILL' and can miscompute, so CPU cache entries must never cross
+    machines (TPU entries are keyed by the device kind and are safe either
+    way).  The jaxlib version is included too: different jaxlib builds emit
+    different target-machine preference flags (+prefer-no-gather etc.), so
+    same-CPU entries from another jaxlib still trip the mismatch (observed
+    2026-08-18 under a round-4 cache)."""
     import hashlib
     import platform
 
-    feat = platform.machine()
+    import jax
+
+    feat = platform.machine() + jax.__version__
+    try:
+        import jaxlib
+
+        feat += getattr(jaxlib, "__version__", "")
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

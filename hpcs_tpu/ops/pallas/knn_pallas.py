@@ -46,7 +46,7 @@ except Exception:  # pragma: no cover
 _NEG_INF = -3.4e38  # python float: jnp scalars would be captured tracers
 
 
-def _knn_kernel(x_rows_ref, x_allT_ref, idx_ref, *, k, mode):
+def _knn_kernel(x_rows_ref, x_allT_ref, idx_ref, *, k, mode, select="argmax"):
     x_rows = x_rows_ref[0]  # [TN, D]
     x_allT = x_allT_ref[0]  # [D, N] (component-major copy for the VPU path)
     d = x_rows.shape[1]
@@ -89,12 +89,21 @@ def _knn_kernel(x_rows_ref, x_allT_ref, idx_ref, *, k, mode):
         scores = 2.0 * inner - col_sq
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, n), dimension=1)
-    for j in range(k):
-        m = jnp.max(scores, axis=1, keepdims=True)  # [TN, 1]
-        hit = scores == m
-        amax = jnp.min(jnp.where(hit, col_ids, n), axis=1)  # smallest tied idx
-        idx_ref[0, :, j] = amax
-        scores = jnp.where(col_ids == amax[:, None], _NEG_INF, scores)
+    if select == "argmax":
+        # argmax returns the FIRST maximum = smallest tied index (same tie
+        # rule as the max+where+min composition below) in one fused reduce;
+        # measured 2026-08-18 on v5e: 2 VPU passes/iteration vs 4
+        for j in range(k):
+            amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TN]
+            idx_ref[0, :, j] = amax
+            scores = jnp.where(col_ids == amax[:, None], _NEG_INF, scores)
+    else:  # "iter": the original max -> tie mask -> min-index composition
+        for j in range(k):
+            m = jnp.max(scores, axis=1, keepdims=True)  # [TN, 1]
+            hit = scores == m
+            amax = jnp.min(jnp.where(hit, col_ids, n), axis=1)  # smallest tied
+            idx_ref[0, :, j] = amax
+            scores = jnp.where(col_ids == amax[:, None], _NEG_INF, scores)
 
 
 def _pick_row_tile(n):
@@ -113,12 +122,18 @@ def _default_mode():
     return os.environ.get("HPCS_TPU_KNN_MODE", "split")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "exact", "mode"))
-def knn_pallas(x, k, interpret=False, exact=None, mode=None):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "exact", "mode",
+                                              "select", "tile"))
+def knn_pallas(x, k, interpret=False, exact=None, mode=None, select=None,
+               tile=None):
     """Indices [B, N, k] of the k nearest neighbors (self included).
 
     x: [B, N, D] fp32.  mode: "exact" | "split" | "fast" (see module
     docstring); `exact` is a legacy alias (True->"exact", False->"fast").
+    select: "argmax" (default; one fused first-max reduce per neighbor) or
+    "iter" (the original max->mask->min composition) — bit-identical outputs,
+    argmax measured ~1.9x faster at N=4096 (benchmarks/
+    knn_kernel_experiments.py).  tile overrides the row-tile size.
     For D <= 4 the kernel always computes exact fp32 scores on the VPU.
     Falls back to the XLA path when shapes do not tile or Pallas is
     unavailable.
@@ -128,9 +143,11 @@ def knn_pallas(x, k, interpret=False, exact=None, mode=None):
             mode = "exact" if exact else "fast"
         else:
             mode = _default_mode()
+    if select is None:
+        select = os.environ.get("HPCS_TPU_KNN_SELECT", "argmax")
     B, N, D = x.shape
-    tn = _pick_row_tile(N)
-    if not HAVE_PALLAS or tn is None or k > N:
+    tn = tile if tile is not None else _pick_row_tile(N)
+    if not HAVE_PALLAS or tn is None or k > N or N % tn != 0:
         return knn_xla(x, k)
 
     # indices are piecewise-constant in x: no gradient flows through the
@@ -138,7 +155,7 @@ def knn_pallas(x, k, interpret=False, exact=None, mode=None):
     # autodiff rule anyway.
     x = jax.lax.stop_gradient(x).astype(jnp.float32)
     xT = x.transpose(0, 2, 1)  # [B, D, N]
-    kernel = functools.partial(_knn_kernel, k=k, mode=mode)
+    kernel = functools.partial(_knn_kernel, k=k, mode=mode, select=select)
     grid = (B, N // tn)
     return pl.pallas_call(
         kernel,
