@@ -91,8 +91,11 @@ def _knn_kernel(x_rows_ref, x_allT_ref, idx_ref, *, k, mode, select="argmax"):
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, n), dimension=1)
     if select == "argmax":
         # argmax returns the FIRST maximum = smallest tied index (same tie
-        # rule as the max+where+min composition below) in one fused reduce;
-        # measured 2026-08-18 on v5e: 2 VPU passes/iteration vs 4
+        # rule as the max+where+min composition below) in one fused reduce.
+        # Measured on v5e (N=4096/B=8, benchmarks/knn_kernel_experiments.py):
+        # 5.47 vs 5.66 ms — only 1.03x, i.e. the kernel is NOT selection-
+        # pass-bound (Mosaic already keeps the composition in vregs); kept
+        # as default for the marginally better time and simpler code
         for j in range(k):
             amax = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [TN]
             idx_ref[0, :, j] = amax
@@ -131,9 +134,12 @@ def knn_pallas(x, k, interpret=False, exact=None, mode=None, select=None,
     x: [B, N, D] fp32.  mode: "exact" | "split" | "fast" (see module
     docstring); `exact` is a legacy alias (True->"exact", False->"fast").
     select: "argmax" (default; one fused first-max reduce per neighbor) or
-    "iter" (the original max->mask->min composition) — bit-identical outputs,
-    argmax measured ~1.9x faster at N=4096 (benchmarks/
-    knn_kernel_experiments.py).  tile overrides the row-tile size.
+    "iter" (the original max->mask->min composition) — bit-identical outputs;
+    measured a wash on v5e (1.03x at N=4096/B=8, ~1.03 Telem/s VPU element
+    throughput either way: benchmarks/knn_kernel_experiments.py — the kernel
+    is not selection-pass-bound).  tile overrides the row-tile size (tiles
+    whose [tn, N] score block exceeds ~16 MB scoped vmem fail to compile;
+    the default picker stays <= 256).
     For D <= 4 the kernel always computes exact fp32 scores on the VPU.
     Falls back to the XLA path when shapes do not tile or Pallas is
     unavailable.
