@@ -16,9 +16,11 @@ def _host_fingerprint():
     with different features logs 'could lead to execution errors such as
     SIGILL' and can miscompute, so CPU cache entries must never cross
     machines (TPU entries are keyed by the device kind and are safe either
-    way).  The jaxlib version is included too: different jaxlib builds emit
-    different target-machine preference flags (+prefer-no-gather etc.), so
-    same-CPU entries from another jaxlib still trip the mismatch (observed
+    way).  The jaxlib version and the CPU *model* line are included too:
+    LLVM derives tuning preferences (+prefer-no-gather etc.) from the CPU
+    model, not the feature flags, so two machines with identical cpuinfo
+    `flags` but different models — or the same machine under a different
+    jaxlib build — still trip the target-machine mismatch (both observed
     2026-08-18 under a round-4 cache)."""
     import hashlib
     import platform
@@ -34,9 +36,14 @@ def _host_fingerprint():
         pass
     try:
         with open("/proc/cpuinfo") as f:
+            got = set()
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if key in ("flags", "Features", "model name", "model",
+                           "stepping", "cpu family") and key not in got:
+                    got.add(key)
                     feat += line
+                if len(got) == 5:
                     break
     except OSError:
         pass
