@@ -195,6 +195,19 @@ _NN_REDUCE_MODE = _os.environ.get("HPCS_TPU_NN_REDUCE", "two_pass")
 _MIN_STAGE = 128  # below this the [M, M] round cost is dispatch-bound
 
 
+_CAP_DIV = int(_os.environ.get("HPCS_TPU_MERGE_CAP_DIV", "8"))
+_CAP_CEIL = int(_os.environ.get("HPCS_TPU_MERGE_CAP_CEIL", "512"))
+# big-stage cascade step: "34" = compact to 3M/4 while M >= 2048 (default),
+# "12" = halve everywhere (fewer, bigger compactions; A/B knob)
+_CASCADE_BIG = _os.environ.get("HPCS_TPU_CASCADE_BIG", "34")
+# merged-row write-back into [M, M]: "onehot" = two [3K, M] bf16-limb dots
+# (scat + its transpose; exact), "take" = row-gather of the K finished rows
+# from the compact [K, M] table + a transposed read for the columns (also
+# exact — pure selection).  The dots cost M^2 * 3K MACs each (~0.26 ms/obj
+# per dot at M=4096, K=512) where the gather is an HBM-floor M^2 write.
+_SCATTER_MODE = _os.environ.get("HPCS_TPU_SCATTER", "onehot")
+
+
 def _merge_cap(M):
     """Per-round merge cap.  The Z buffer in linkage_from_distances_mnn is
     padded by _merge_cap(N) so the contiguous dynamic_update_slice write in
@@ -204,13 +217,16 @@ def _merge_cap(M):
     stages (measured on clustered N=4096 data: stages M=4096/3072/2304 ran
     4/3/3 fully-capped rounds; at cap M//8 they run 3/2/2 with headroom),
     and big-stage rounds dominate — each costs several [M, M] passes, so
-    one round saved at M=4096 outweighs the whole M=128 tail.  The extra
-    per-round cost of a larger K (the [3K, M] x [M, M] scatter-backs) is
-    MXU-bound and small next to the [M, M] VPU/HBM passes a round pays
-    regardless.  Merging any subset of mutual pairs is exact (see
-    _mnn_round_body), so the cap value never affects the dendrogram.
+    one round saved at M=4096 outweighs the whole M=128 tail.  The
+    per-round cost of a larger K (the [3K, M] scatter-back dots) is
+    K-static MXU work, so oversizing K past the available mutual-pair
+    count is pure waste — but while rounds are cap-BOUND the total MXU
+    cost is ~K-independent (rounds ∝ 1/K) and every round saved is several
+    [M, M] HBM passes saved.  Merging any subset of mutual pairs is exact
+    (see _mnn_round_body), so the cap value never affects the dendrogram.
+    Env knobs (HPCS_TPU_MERGE_CAP_DIV / _CEIL) exist for A/B runs.
     """
-    return max(64, min(M // 8, 512))
+    return max(64, min(M // _CAP_DIV, _CAP_CEIL))
 
 
 def _mnn_round_body(M, N, method):
@@ -400,9 +416,15 @@ def _mnn_round_body(M, N, method):
         # cost is the single [M, M] write each
         Rfix = jnp.where(leader[None, :], _select_rows(C, Lsel),
                          jnp.where(dead[None, :], _INF, R))
-        # [M, M] scatter-backs (zero on non-merged rows); scatT == scat.T
-        # produced by a second dot instead of a transpose copy
-        scat, scatT = _scatter_rows_onehot(Lsel, Rfix)
+        if _SCATTER_MODE == "take":
+            # leader slot m's new row is Rfix[rank[m]]; non-leader rows are
+            # masked off by the where, so any in-range index works there
+            T = jnp.take(Rfix, jnp.where(leader, rank, 0), axis=0)
+            scat, scatT = T, T.T
+        else:
+            # [M, M] scatter-backs (zero on non-merged rows); scatT ==
+            # scat.T produced by a second dot instead of a transpose copy
+            scat, scatT = _scatter_rows_onehot(Lsel, Rfix)
         D2 = jnp.where(leader[:, None], scat,
                        jnp.where(dead[:, None], _INF,
                                  jnp.where(leader[None, :], scatT,
@@ -425,6 +447,9 @@ def _mnn_round_body(M, N, method):
     return body
 
 
+_COMPACT_MODE = _os.environ.get("HPCS_TPU_COMPACT", "transpose")
+
+
 def _compact(s, half):
     """Pack the (<= half) active slots into a [half, half] state.
 
@@ -436,8 +461,12 @@ def _compact(s, half):
     # two ROW gathers with a transpose between (row gathers read only
     # half x M; a one-hot matmul re-reads the whole [M, M] per precision
     # pass, and a direct column gather is stride-hostile on TPU)
+    if _COMPACT_MODE == "direct":  # A/B knob: axis-1 gather, no transposes
+        Dc = jnp.take(jnp.take(s["D"], keep, axis=0), keep, axis=1)
+    else:
+        Dc = jnp.take(jnp.take(s["D"], keep, axis=0).T, keep, axis=0).T
     out = dict(
-        D=jnp.take(jnp.take(s["D"], keep, axis=0).T, keep, axis=0).T,
+        D=Dc,
         cluster_id=s["cluster_id"][keep],
         size=s["size"][keep],
         active=s["active"][keep],
@@ -512,7 +541,7 @@ def linkage_from_distances_mnn(D, method="complete"):
     while M > _MIN_STAGE:  # static (python) cascade: 3/4 steps while the
         # matrix is large (rounds merge a roughly constant number of pairs,
         # so cost concentrates in the biggest stages), halving below 1024
-        if M >= 2048:
+        if M >= 2048 and _CASCADE_BIG == "34":
             M_next = max(_MIN_STAGE, (3 * M + 3) // 4)
         else:
             M_next = max(_MIN_STAGE, (M + 1) // 2)

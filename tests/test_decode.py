@@ -492,3 +492,40 @@ def test_fused_nn_reduce_matches_two_pass(method):
         finally:
             L._NN_REDUCE_MODE = old
         np.testing.assert_array_equal(Z1, Z2)
+
+
+@pytest.mark.parametrize("knob,value", [
+    ("_SCATTER_MODE", "take"),
+    ("_COMPACT_MODE", "direct"),
+    # at the N=170 test size the cap floor is 64; DIV=1 lifts it to M (merge
+    # EVERY mutual pair per round) so the merge schedule genuinely differs.
+    # _CASCADE_BIG only binds at M >= 2048 and is not exercised here — it
+    # only changes the compaction stage sizes, and compaction exactness at
+    # arbitrary sizes is covered by the _COMPACT_MODE rows + stage tests.
+    ("_CAP_DIV", 1),
+    ("_CAP_CEIL", 64),
+])
+def test_ab_knobs_bit_identical(knob, value):
+    """Every decode A/B knob (benchmarks/decode_knob_ab.py) is a pure
+    performance choice: scatter 'take' and compact 'direct' are exact
+    selections of the same values, and the cap knobs only change WHICH
+    mutual pairs merge per round — exact for reducible linkages (see
+    _mnn_round_body).  Z must be BIT-IDENTICAL to the defaults, on random
+    and tie-heavy inputs."""
+    import importlib
+
+    L = importlib.import_module("hpcs_tpu.decode.linkage")
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 4).astype(np.float32)
+    for X in (rng.randn(170, 4).astype(np.float32), np.vstack([base] * 6)):
+        D = L.cosine_distance_matrix(jnp.asarray(X))
+        old = getattr(L, knob)
+        Z1 = np.asarray(L.linkage_from_distances_mnn.__wrapped__(
+            D, method="average"))
+        try:
+            setattr(L, knob, value)
+            Z2 = np.asarray(L.linkage_from_distances_mnn.__wrapped__(
+                D, method="average"))
+        finally:
+            setattr(L, knob, old)
+        np.testing.assert_array_equal(Z1, Z2)
