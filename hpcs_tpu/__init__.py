@@ -21,7 +21,18 @@ def _host_fingerprint():
     model, not the feature flags, so two machines with identical cpuinfo
     `flags` but different models — or the same machine under a different
     jaxlib build — still trip the target-machine mismatch (both observed
-    2026-08-18 under a round-4 cache)."""
+    2026-08-18 under a round-4 cache).
+
+    Known-benign noise: even on SAME-machine cache hits, cpu_aot_loader
+    logs 'Target machine feature +prefer-no-gather is not supported on the
+    host machine ... could lead to execution errors such as SIGILL'.  That
+    validator compares the compile-time LLVM target (which embeds tuning
+    *preferences* like +prefer-no-gather/+prefer-no-scatter derived from
+    the CPU model) against runtime-DETECTED hardware features, which never
+    include tuning flags — so every legitimate self-compiled hit warns.
+    The fingerprint directory guarantees the entry really was compiled on
+    this host+jaxlib, so the E-line is cosmetic here; genuinely foreign
+    entries can't be looked up at all."""
     import hashlib
     import platform
 
